@@ -1,0 +1,207 @@
+"""HLL / Bloom / KLL / MinHash kernel tests vs exact oracles (no Ray)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parallel_count_min_sketch_ray.state.hll import HyperLogLog
+from parallel_count_min_sketch_ray.state.bloom import BloomFilter
+from parallel_count_min_sketch_ray.state.kll import KLLSketch
+from parallel_count_min_sketch_ray.state.minhash import MinHashSignature
+from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
+
+
+# ---- HyperLogLog ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("true_n", [100, 10_000, 200_000])
+def test_hll_estimate_within_bound(true_n):
+    hll = HyperLogLog(p=14, seed=42)
+    rng = np.random.default_rng(7)
+    vals = rng.choice(10 * true_n, size=true_n, replace=False).astype(np.int64)
+    # feed with duplicates: multiplicity must not matter
+    hll.update(np.concatenate([vals, vals[: true_n // 2]]))
+    est = hll.estimate()
+    tol = 4 * hll.relative_error()  # 4 sigma ≈ 1.04/sqrt(m)
+    assert abs(est - true_n) <= tol * true_n
+
+
+def test_hll_merge_equals_union_and_is_idempotent():
+    a, b = HyperLogLog(p=12, seed=1), HyperLogLog(p=12, seed=1)
+    xs = np.arange(0, 60_000)
+    ys = np.arange(30_000, 90_000)
+    a.update(xs)
+    b.update(ys)
+    merged = a.empty_like().merge(a).merge(b)
+    full = HyperLogLog(p=12, seed=1)
+    full.update(np.concatenate([xs, ys]))
+    assert np.array_equal(merged.registers, full.registers)  # bit-identical
+    again = merged.empty_like().merge(merged).merge(merged)  # idempotent
+    assert np.array_equal(again.registers, merged.registers)
+
+
+def test_hll_incompatible_merge_raises():
+    with pytest.raises(ValueError):
+        HyperLogLog(p=12).merge(HyperLogLog(p=13))
+    with pytest.raises(ValueError):
+        HyperLogLog(p=12, seed=1).merge(HyperLogLog(p=12, seed=2))
+
+
+def test_hll_serde_roundtrip():
+    h = HyperLogLog(p=10, seed=5)
+    h.update(np.arange(1000))
+    back = HyperLogLog.from_bytes(h.to_bytes())
+    assert np.array_equal(back.registers, h.registers)
+    assert back.estimate() == h.estimate()
+
+
+def test_hll_small_range_uses_linear_counting():
+    h = HyperLogLog(p=14, seed=2)
+    h.update(np.arange(50))
+    assert abs(h.estimate() - 50) <= 5
+
+
+# ---- Bloom ---------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    bf = BloomFilter(capacity=10_000, fp_rate=0.01, seed=42)
+    rng = np.random.default_rng(11)
+    present = rng.choice(1 << 40, size=10_000, replace=False)
+    bf.update(present)
+    assert bf.contains(present).all()  # zero false negatives, hard
+    absent = present.max() + 1 + np.arange(20_000)
+    fp = bf.contains(absent).mean()
+    assert fp <= 0.02  # 2x configured bound headroom at full capacity
+
+
+def test_bloom_merge_is_union():
+    a = BloomFilter(capacity=1000, fp_rate=0.01, seed=3)
+    b = a.empty_like()
+    xs, ys = np.arange(500), np.arange(400, 900)
+    a.update(xs)
+    b.update(ys)
+    m = a.empty_like().merge(a).merge(b)
+    full = a.empty_like()
+    full.update(np.concatenate([xs, ys]))
+    assert np.array_equal(m.bits, full.bits)
+    assert m.contains(np.arange(900)).all()
+
+
+def test_bloom_incompatible_and_serde():
+    with pytest.raises(ValueError):
+        BloomFilter(capacity=100).merge(BloomFilter(capacity=200))
+    bf = BloomFilter(capacity=500, fp_rate=0.05, seed=9)
+    bf.update(np.arange(100))
+    back = BloomFilter.from_bytes(bf.to_bytes())
+    assert np.array_equal(back.bits, bf.bits)
+    assert back.contains(np.arange(100)).all()
+
+
+# ---- KLL -----------------------------------------------------------------
+
+
+def test_kll_exact_when_under_capacity():
+    k = KLLSketch(k=200, seed=42)
+    vals = np.arange(100, dtype=np.float64)
+    k.update(vals)
+    assert k.n == 100
+    assert k.quantile(0.0) == 0.0
+    assert k.quantile(1.0) == 99.0
+    assert abs(k.quantile(0.5) - 49.0) <= 1.0
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal"])
+def test_kll_rank_error_bound(dist):
+    rng = np.random.default_rng(17)
+    n = 200_000
+    vals = rng.random(n) if dist == "uniform" else rng.lognormal(0, 2, n)
+    k = KLLSketch(k=200, seed=42)
+    # feed in chunks like a batch pipeline would
+    for chunk in np.array_split(vals, 37):
+        k.update(chunk)
+    assert k.n == n
+    svals = np.sort(vals)
+    for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        est = k.quantile(q)
+        true_rank = np.searchsorted(svals, est, side="right") / n
+        assert abs(true_rank - q) <= 0.03  # 3% rank-error envelope at k=200
+
+
+def test_kll_merge_bound_and_count():
+    rng = np.random.default_rng(5)
+    parts = [rng.normal(0, 1, 50_000) for _ in range(4)]
+    sks = []
+    for part in parts:
+        s = KLLSketch(k=200, seed=42)
+        s.update(part)
+        sks.append(s)
+    merged = sks[0]
+    for s in sks[1:]:
+        merged.merge(s)
+    allv = np.concatenate(parts)
+    assert merged.n == allv.size
+    svals = np.sort(allv)
+    for q in [0.1, 0.5, 0.9, 0.99]:
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(svals, est, side="right") / allv.size
+        assert abs(true_rank - q) <= 0.04
+
+
+def test_kll_weighted_update_and_serde():
+    k = KLLSketch(k=128, seed=1)
+    k.update(np.array([1.0, 2.0, 3.0]), counts=np.array([10, 20, 70]))
+    assert k.n == 100
+    assert k.quantile(0.05) == 1.0
+    assert k.quantile(0.5) == 3.0 or k.quantile(0.5) == 2.0
+    assert k.quantile(0.99) == 3.0
+    back = KLLSketch.from_bytes(k.to_bytes())
+    assert back.n == k.n
+    assert back.quantile(0.5) == k.quantile(0.5)
+    with pytest.raises(ValueError):
+        k.merge(KLLSketch(k=64, seed=1))
+
+
+# ---- MinHash -------------------------------------------------------------
+
+
+def test_minhash_jaccard_estimate():
+    rng = np.random.default_rng(3)
+    universe = rng.choice(1 << 50, size=3000, replace=False).astype(np.uint64)
+    a_items, b_items = universe[:2000], universe[1000:]  # |inter|/|union| = 1/3
+    a = MinHashSignature(num_perm=256, seed=42)
+    b = a.empty_like()
+    a.update(a_items)
+    b.update(b_items)
+    est = a.jaccard(b)
+    assert abs(est - 1 / 3) <= 4 / np.sqrt(256)  # 4 sigma
+
+
+def test_minhash_merge_is_set_union():
+    a = MinHashSignature(num_perm=64, seed=9)
+    b = a.empty_like()
+    a.update(np.arange(100, dtype=np.uint64))
+    b.update(np.arange(50, 150, dtype=np.uint64))
+    m = a.empty_like().merge(a).merge(b)
+    full = a.empty_like()
+    full.update(np.arange(150, dtype=np.uint64))
+    assert np.array_equal(m.sig, full.sig)
+
+
+def test_minhash_serde_and_guards():
+    s = MinHashSignature(num_perm=32, seed=4)
+    s.update(hash64_strings(["a", "b", "c"]))
+    back = MinHashSignature.from_bytes(s.to_bytes())
+    assert np.array_equal(back.sig, s.sig)
+    with pytest.raises(ValueError):
+        s.merge(MinHashSignature(num_perm=16, seed=4))
+
+
+def test_hash64_strings_stable_and_distinct():
+    h1 = hash64_strings(["foo", "bar", "foo", ""])
+    h2 = hash64_strings(["foo", "bar", "foo", ""])
+    assert np.array_equal(h1, h2)
+    assert h1[0] == h1[2]
+    assert h1[0] != h1[1]
+    assert len(set(hash64_strings([f"tok{i}" for i in range(10_000)]).tolist())) == 10_000

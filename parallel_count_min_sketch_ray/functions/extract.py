@@ -1,0 +1,77 @@
+"""Zero-copy extraction of sketchable values from Arrow batches.
+
+The reference's "item stream" is the flattened concatenation of all
+rows' ``tokens`` arrays (SURVEY.md §1.4); these helpers produce that
+flat numpy view from a ``pyarrow.Table`` / ``pandas.DataFrame`` block
+without per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
+
+
+def _as_arrow_column(batch, column: str) -> pa.ChunkedArray | pa.Array:
+    if isinstance(batch, pa.Table):
+        return batch[column]
+    # pandas block (groupby map paths) — round-trip through Arrow
+    return pa.array(batch[column])
+
+
+def flatten_tokens(batch, column: str = "tokens") -> np.ndarray:
+    """Flat int64-view of a list<int> column, zero-copy where possible.
+
+    ``ListArray.flatten()`` respects slice offsets, so a sliced block
+    yields exactly its own rows' tokens.
+    """
+    col = _as_arrow_column(batch, column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten()
+    return flat.to_numpy(zero_copy_only=False)
+
+
+def numeric_column(batch, column: str) -> np.ndarray:
+    """Flat numpy view of a scalar numeric column."""
+    col = _as_arrow_column(batch, column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def hashed_string_column(batch, column: str) -> np.ndarray:
+    """uint64 content hashes of a string column (FNV-1a, vectorized)."""
+    col = _as_arrow_column(batch, column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return hash64_strings(col.to_pylist())
+
+
+def make_extractor(column: str, kind: str = "auto"):
+    """Return ``fn(batch) -> np.ndarray`` for the given column.
+
+    kind: 'list' (flatten list column), 'numeric', 'string_hash', or
+    'auto' (inspect the first batch's Arrow type).
+    """
+    if kind == "list":
+        return lambda b: flatten_tokens(b, column)
+    if kind == "numeric":
+        return lambda b: numeric_column(b, column)
+    if kind == "string_hash":
+        return lambda b: hashed_string_column(b, column)
+    if kind != "auto":
+        raise ValueError(f"unknown extractor kind {kind!r}")
+
+    def auto(batch):
+        col = _as_arrow_column(batch, column)
+        typ = col.type
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return flatten_tokens(batch, column)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return hashed_string_column(batch, column)
+        return numeric_column(batch, column)
+
+    return auto

@@ -1,0 +1,208 @@
+"""Distributed sketch builds over ``ray.data.Dataset``.
+
+The Ray-Data restatement of the reference's flagship pipeline
+(``/root/reference/src/mpi/mpiV2.c``, SURVEY.md §3.1):
+
+    read_parquet → map_batches(flatten + per-block partial sketch)
+                 → hierarchical combine (map_batches merge tree)
+                 → driver final merge → query/validate on the sketch
+
+Key property at 100 TB: the only "wide" step is a fixed-size sketch
+reduction — data volume is ``num_blocks × sketch_bytes``, independent
+of N.  The merge tree's fan-in is explicit (``combine_fanin``,
+``combine_levels``) so the driver only ever sees
+``num_blocks / fanin**levels`` partials (the thread→rank→global
+hierarchy of hybridV1, ``src/hybrid/hybridV1.c:156-227``).
+
+:func:`build_sketches` scans the input ONCE for any number of sketch
+specs (e.g. CMS over tokens + HLL distinct tokens + KLL over n_tok +
+Bloom over doc_id in a single pass).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from parallel_count_min_sketch_ray.functions.extract import make_extractor
+from parallel_count_min_sketch_ray.stages.udaf import sketch_aggregate
+from parallel_count_min_sketch_ray.state.base import sketch_from_bytes
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch to build: a prototype (identity carrier) + input column."""
+
+    name: str
+    proto: Any
+    column: str
+    kind: str = "auto"  # extractor kind: list | numeric | string_hash | auto
+
+
+@dataclass
+class SketchReport:
+    """Result of a distributed build: merged sketches + run metrics."""
+
+    sketches: dict[str, Any]
+    rows: int
+    items: dict[str, int]
+    wall_time: float
+    num_partials: int
+
+    def __getitem__(self, name: str):
+        return self.sketches[name]
+
+
+class MultiPartialBatcher:
+    """map_batches callable: one row of serialized partials per block.
+
+    Runs as an actor pool (``concurrency=N``) so per-sketch setup
+    (hash families, MinHash permutations) happens once per actor.
+    """
+
+    def __init__(self, specs: tuple[SketchSpec, ...]):
+        self._specs = specs
+        self._protos = [s.proto.empty_like() for s in specs]
+        self._extractors = [make_extractor(s.column, s.kind) for s in specs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        item_counts = []
+        for spec, proto, extract in zip(self._specs, self._protos, self._extractors):
+            sk = proto.empty_like()
+            vals = extract(batch)
+            sk.update(vals)
+            arrays.append(pa.array([sk.to_bytes()], pa.binary()))
+            names.append(spec.name)
+            item_counts.append(int(np.asarray(vals).size))
+        arrays.append(pa.array([batch.num_rows], pa.int64()))
+        names.append("__rows")
+        arrays.append(pa.array([item_counts], pa.list_(pa.int64())))
+        names.append("__items")
+        return pa.Table.from_arrays(arrays, names=names)
+
+
+def _combine_level(specs: tuple[SketchSpec, ...]):
+    """A merge-tree level: fold a batch of partial rows into one row."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= 1:
+            return batch
+        arrays, names = [], []
+        for spec in specs:
+            blobs = batch[spec.name].to_pylist()
+            acc = sketch_from_bytes(blobs[0])
+            for blob in blobs[1:]:
+                acc.merge(sketch_from_bytes(blob))
+            arrays.append(pa.array([acc.to_bytes()], pa.binary()))
+            names.append(spec.name)
+        rows = int(pa.compute.sum(batch["__rows"]).as_py() or 0)
+        items = np.array(batch["__items"].to_pylist(), dtype=np.int64).sum(axis=0)
+        arrays.append(pa.array([rows], pa.int64()))
+        names.append("__rows")
+        arrays.append(pa.array([items.tolist()], pa.list_(pa.int64())))
+        names.append("__items")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return combine
+
+
+def build_sketches(
+    ds,
+    specs: list[SketchSpec],
+    *,
+    batch_size: int | None = 65536,
+    concurrency: int | tuple[int, int] | None = None,
+    combine_fanin: int = 64,
+    combine_levels: int = 2,
+) -> SketchReport:
+    """One streaming pass over ``ds`` building every spec's sketch.
+
+    ``combine_levels`` merge-tree stages with fan-in ``combine_fanin``
+    bound the driver's final fan-in to
+    ``ceil(num_blocks / combine_fanin**combine_levels)`` partials —
+    at 800k blocks (100 TB / 128 MB) and the defaults, ~196 rows of a
+    few hundred KB reach the driver.
+    """
+    t0 = time.perf_counter()
+    specs = tuple(specs)
+    if concurrency is None:
+        # stateless tasks: the (tiny) batcher instance ships with each task
+        partials = ds.map_batches(
+            MultiPartialBatcher(specs),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+    else:
+        # actor pool: per-sketch setup runs once per actor (__init__)
+        partials = ds.map_batches(
+            MultiPartialBatcher,
+            fn_constructor_args=(specs,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
+    combine = _combine_level(specs)
+    for _ in range(max(0, combine_levels)):
+        partials = partials.map_batches(
+            combine, batch_format="pyarrow", batch_size=combine_fanin
+        )
+    rows = partials.take_all()
+
+    merged = {s.name: s.proto.empty_like() for s in specs}
+    total_rows = 0
+    items = np.zeros(len(specs), dtype=np.int64)
+    for r in rows:
+        for s in specs:
+            merged[s.name].merge(sketch_from_bytes(r[s.name]))
+        total_rows += int(r["__rows"])
+        items += np.asarray(r["__items"], dtype=np.int64)
+    return SketchReport(
+        sketches=merged,
+        rows=total_rows,
+        items={s.name: int(n) for s, n in zip(specs, items)},
+        wall_time=time.perf_counter() - t0,
+        num_partials=len(rows),
+    )
+
+
+def build_sketch(ds, proto, column: str, kind: str = "auto", **kwargs):
+    """Single-sketch convenience wrapper -> (sketch, SketchReport)."""
+    report = build_sketches(ds, [SketchSpec("sketch", proto, column, kind)], **kwargs)
+    return report.sketches["sketch"], report
+
+
+def build_sketch_via_aggregate(ds, proto, column: str, kind: str = "auto"):
+    """The ``ds.aggregate(AggregateFn)`` spelling: Ray Data owns the
+    partial-accumulate + merge topology.  Returns the merged sketch."""
+    agg = sketch_aggregate(proto, column, kind, name="sketch")
+    out = ds.aggregate(agg)
+    return sketch_from_bytes(out["sketch"])
+
+
+def build_sketches_by_key(
+    ds, key: str, specs: list[SketchSpec]
+) -> dict[Any, dict[str, Any]]:
+    """Per-group sketches via ``ds.groupby(key).aggregate(...)``.
+
+    This IS a shuffle on ``key`` — but the shuffled payload is the
+    per-block partial sketches, not the raw rows, because AggregateFn
+    accumulates block-side before the exchange.  Heavy-hitter keys are
+    therefore safe: every partition contributes at most one partial per
+    key per block regardless of row skew (the "salted repartition"
+    concern of BASELINE.json reduces to block sizing here).
+    """
+    aggs = [sketch_aggregate(s.proto, s.column, s.kind, name=s.name) for s in specs]
+    out = ds.groupby(key).aggregate(*aggs)
+    result: dict[Any, dict[str, Any]] = {}
+    for row in out.take_all():
+        result[row[key]] = {
+            s.name: sketch_from_bytes(row[s.name]) for s in specs
+        }
+    return result

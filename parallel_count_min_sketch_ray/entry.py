@@ -1,0 +1,183 @@
+"""Driver contract implementation: entry(), queries(), oracle_sql().
+
+Each SQL-expressible query pairs a Ray Data pipeline with an
+equivalent DuckDB statement over the same parquet views; column names
+and dtypes match exactly (integer-cents arithmetic keeps float sums
+bit-comparable).  Sketch-estimate queries are deterministic but not
+SQL-expressible → no oracle entry (driver records rows-only; bounds
+are asserted in pytest).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from parallel_count_min_sketch_ray.pipelines import (
+    analytics,
+    ann,
+    dedup,
+    sketch_queries,
+    textpipe,
+)
+
+
+def entry() -> Any:
+    """Flagship: single-pass CMS+HLL+KLL+Bloom over tokenized documents
+    at sf0.001; returns a summary DataFrame (stable schema)."""
+    import numpy as np
+    import pandas as pd
+
+    rep = sketch_queries.build_all("/root/testdata/sf0.001")
+    cms, hll, kll, bloom = rep["cms"], rep["hll"], rep["kll"], rep["bloom"]
+    rows = [
+        ("rows", float(rep.rows)),
+        ("tokens", float(rep.items["cms"])),
+        ("cms_total", float(cms.total)),
+        ("cms_error_bound", float(cms.error_bound())),
+        ("hll_distinct_tokens", float(hll.estimate())),
+        ("kll_ntok_p50", float(kll.quantile(0.5))),
+        ("kll_ntok_p99", float(kll.quantile(0.99))),
+        ("bloom_fill_ratio", float(bloom.fill_ratio())),
+        ("wall_time_sec", float(rep.wall_time)),
+    ]
+    return pd.DataFrame(rows, columns=["metric", "value"]).astype(
+        {"metric": str, "value": np.float64}
+    )
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        # --- exact token / document analytics (SQL-checked) ---
+        "token_counts": analytics.token_counts,
+        "token_totals": analytics.token_totals,
+        "heavy_hitters": analytics.heavy_hitters,
+        "doc_token_stats": analytics.doc_token_stats,
+        "lang_source_counts": analytics.lang_source_counts,
+        "dedup_exact": analytics.dedup_exact,
+        "token_count_regex": textpipe.token_count_regex,
+        # --- events: windows / sessions / topk (SQL-checked) ---
+        "events_hourly": analytics.events_hourly,
+        "events_sessions": analytics.events_sessions,
+        "top_users_by_value": analytics.top_users_by_value,
+        # --- relational (SQL-checked) ---
+        "pricing_summary": analytics.pricing_summary,
+        "orders_by_segment": analytics.orders_by_segment,
+        # --- embeddings (SQL-checked) ---
+        "embedding_norms": ann.embedding_norms,
+        "ann_topk": ann.ann_topk,
+        "embedding_near_dup": ann.embedding_near_dup,
+        # --- sketch estimates (deterministic, rows-only) ---
+        "cms_word_estimates": sketch_queries.cms_word_estimates,
+        "hll_distinct_words": sketch_queries.hll_distinct_words,
+        "kll_ntok_quantiles": sketch_queries.kll_ntok_quantiles,
+        "bloom_doc_membership": sketch_queries.bloom_doc_membership,
+        "cms_inner_product_sources": sketch_queries.cms_inner_product_sources,
+        "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
+        # --- near-dup / text analysis (rows-only) ---
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_pairs": dedup.simhash_pairs,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        "lang_quality": textpipe.lang_quality,
+        "doc_fingerprints": textpipe.doc_fingerprints,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    words = (
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+    )
+    return {
+        "token_counts": (
+            f"SELECT token, COUNT(*) AS cnt FROM ({words}) w "
+            "WHERE token <> '' GROUP BY token"
+        ),
+        "token_totals": (
+            f"SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT token) AS distinct_tokens "
+            f"FROM ({words}) w WHERE token <> ''"
+        ),
+        "heavy_hitters": (
+            f"SELECT token, COUNT(*) AS cnt FROM ({words}) w "
+            "WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 100"
+        ),
+        "doc_token_stats": (
+            "SELECT doc_id, "
+            "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok, "
+            "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars, "
+            "CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
+            "len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_word_len "
+            "FROM documents"
+        ),
+        "lang_source_counts": (
+            "SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc_id, "
+            "COUNT(*) AS dup_cnt FROM documents GROUP BY md5(text)"
+        ),
+        "token_count_regex": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            r"'[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "events_hourly": (
+            "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum "
+            "FROM events GROUP BY event_type, hour"
+        ),
+        "events_sessions": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(1 + COALESCE(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sessions "
+            "FROM (SELECT user_id, date_diff('microsecond', "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us "
+            "FROM events) t GROUP BY user_id"
+        ),
+        "top_users_by_value": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum "
+            "FROM events GROUP BY user_id "
+            "ORDER BY SUM(CAST(ROUND(value * 100) AS BIGINT)) DESC, user_id LIMIT 20"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price, "
+            "CAST(COUNT(*) AS BIGINT) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_segment": (
+            "SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment"
+        ),
+        "embedding_norms": (
+            "SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm FROM embeddings"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id < 5), "
+            "c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM embeddings), "
+            "s AS (SELECT q.query_id, c.vec_id, "
+            "list_dot_product(q.qe, c.ce) / (sqrt(list_dot_product(q.qe, q.qe)) * "
+            "sqrt(list_dot_product(c.ce, c.ce))) AS sim FROM q CROSS JOIN c), "
+            "r AS (SELECT query_id, vec_id, sim, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk FROM s) "
+            "SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, ROUND(sim, 4) AS sim "
+            "FROM r WHERE rnk <= 10"
+        ),
+        "embedding_near_dup": (
+            "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+            "ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(b.v, b.v))), 4) AS sim "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(b.v, b.v))) >= 0.4"
+        ),
+    }

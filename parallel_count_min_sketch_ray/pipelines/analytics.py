@@ -1,0 +1,361 @@
+"""Exact analytics pipelines over the testdata tables.
+
+These are the SQL-checkable counterparts of the reference's exact
+validation path (inline exact counters ``src/mpi/mpiV2.c:131-140``,
+``frequency_counter.py``'s group-by-count oracle) widened to the full
+query surface the driver verifies against DuckDB.
+
+Scale discipline (applies to every function here):
+
+- reads prune columns (``columns=[...]``);
+- per-key aggregations pre-aggregate inside ``map_batches`` (partial
+  combiner) before the ``groupby`` shuffle, so the exchange carries
+  per-block partials, not rows;
+- small join sides are broadcast via ``ray.put`` and looked up per
+  batch, never shuffled;
+- money/value sums use integer cents so the Ray result is
+  bit-comparable with the DuckDB oracle (float sums are
+  order-dependent; integer sums are exact and associative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from parallel_count_min_sketch_ray.functions import textops
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: np.ndarray) -> np.ndarray:
+    """double currency -> exact integer cents (matches SQL
+    CAST(ROUND(x*100) AS BIGINT); ties cannot occur for 2-decimal data)."""
+    return np.round(np.asarray(arr, dtype=np.float64) * 100.0).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# token-level exact aggregation over documents (the oracle path)
+# ---------------------------------------------------------------------------
+
+
+def token_counts(sf_dir: str):
+    """Exact per-word counts over documents.text.
+
+    Pattern: per-batch value_counts (partial combine) → groupby('token')
+    sum — the shuffle moves one row per (block, distinct word), not one
+    per word occurrence.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = textops.flat_words(batch["text"])
+        vc = flat.value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["token", "cnt"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["text"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def token_totals(sf_dir: str):
+    """Single row: total token count + distinct token count (exact)."""
+    counts = token_counts(sf_dir).to_pandas()
+    return pd.DataFrame(
+        {
+            "total_tokens": [int(counts["cnt"].sum())],
+            "distinct_tokens": [int(len(counts))],
+        }
+    )
+
+
+def heavy_hitters(sf_dir: str, threshold: int = 100):
+    """Words with exact count >= threshold (the heavy-hitter set CMS
+    point queries are validated against)."""
+    ds = token_counts(sf_dir)
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], threshold)),
+        batch_format="pyarrow",
+    )
+
+
+def doc_token_stats(sf_dir: str):
+    """Per-doc exact stats: n_tok, chars sans spaces, avg word length."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_words = textops.word_count(batch["text"])
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        no_space = pc.utf8_length(pc.replace_substring(col, " ", ""))
+        chars = no_space.to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = np.where(n_words > 0, chars.astype(np.float64) / n_words, 0.0)
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array(n_words),
+                pa.array(chars),
+                pa.array(avg),
+            ],
+            names=["doc_id", "n_tok", "n_word_chars", "avg_word_len"],
+        )
+
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def lang_source_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        read(sf_dir, "documents", ["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup by content digest: one representative (min doc_id)
+    per distinct text + duplicate count.
+
+    At scale: the groupby key is the 32-hex digest, so the shuffle is
+    hash-partitioned on content, and each group fits trivially.
+    """
+
+    def digests(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dg = textops.md5_digests(col.to_pylist())
+        return pa.Table.from_arrays(
+            [pa.array(dg, pa.string()), batch["doc_id"]],
+            names=["digest", "doc_id"],
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    return (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(digests, batch_format="pyarrow")
+        .groupby("digest")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregates + sessionization
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + exact value sum.
+
+    Ray Data has no event-time windows (SURVEY.md §2.4); a tumbling
+    window IS a group key: floor(ts/1h).  Pre-aggregated per batch
+    before the shuffle.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts_us // 3_600_000_000
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "hour": hour,
+                "cnt": 1,
+                "value_cents": cents,
+            }
+        )
+        g = df.groupby(["event_type", "hour"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("value_cents", alias_name="vc"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        vsum = batch["vc"].to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+        return pa.Table.from_arrays(
+            [batch["event_type"], batch["hour"], batch["cnt"], pa.array(vsum)],
+            names=["event_type", "hour", "cnt", "value_sum"],
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_sessions(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Sessionization: per user, sessions split at >30-minute gaps.
+
+    Partitioning assumption (documented per SURVEY.md custom-operator
+    rule): all events of one user co-locate via ``groupby(user_id)``;
+    within the group pandas sorts by ts — integer-microsecond gap
+    compare, so the result is exact.
+    """
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").sort_values().to_numpy()
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > gap_us).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return (
+        read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def top_users_by_value(sf_dir: str, k: int = 20):
+    """Top-k users by exact total value (cents), tie-broken by user_id."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "cnt": 1,
+                "vc": _cents(batch["value"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        read(sf_dir, "events", ["user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cnt", alias_name="n_events"), Sum("vc", alias_name="vc"))
+    )
+    top = agg.sort(["vc", "user_id"], descending=[True, False]).limit(k).to_pandas()
+    top["value_sum"] = top["vc"].astype(np.float64) / 100.0
+    return top[["user_id", "n_events", "value_sum"]]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational pipelines
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape over lineitem (no date filter — full scan),
+    grouped by returnflag+linestatus, exact integer-cent arithmetic."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty_c = _cents(batch["l_quantity"].to_numpy(zero_copy_only=False))
+        ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        disc_price = ext_c * (100 - disc_c)  # in 1e-4 dollars
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "qty_c": qty_c,
+                "ext_c": ext_c,
+                "disc_price_ten_thousandths": disc_price,
+                "cnt": 1,
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("ext_c", alias_name="ext_c"),
+            Sum("disc_price_ten_thousandths", alias_name="dp"),
+            Sum("cnt", alias_name="count_order"),
+        )
+    ).to_pandas()
+    out["sum_qty"] = out["qty_c"].astype(np.float64) / 100.0
+    out["sum_base_price"] = out["ext_c"].astype(np.float64) / 100.0
+    out["sum_disc_price"] = out["dp"].astype(np.float64) / 10000.0
+    return out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order"]
+    ]
+
+
+def orders_by_segment(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) → per-segment totals.
+
+    customer is the classic small dimension: ``ray.put`` the
+    custkey→segment map once; every map task reads it from the object
+    store — no shuffle join.
+    """
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
+    )
+
+    class SegmentJoin:
+        def __init__(self, ref):
+            lk = ray.get(ref)
+            self._keys = np.fromiter(lk.keys(), dtype=np.int64, count=len(lk))
+            order = np.argsort(self._keys)
+            self._keys = self._keys[order]
+            self._vals = np.array(list(lk.values()), dtype=object)[order]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self._keys, ck)
+            pos = np.clip(pos, 0, len(self._keys) - 1)
+            seg = self._vals[pos]
+            seg = np.where(self._keys[pos] == ck, seg, "UNKNOWN")
+            df = pd.DataFrame(
+                {
+                    "c_mktsegment": seg,
+                    "n_orders": 1,
+                    "tp_c": _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)),
+                }
+            )
+            g = df.groupby("c_mktsegment", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            SegmentJoin, fn_constructor_args=(lookup_ref,), batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("tp_c", alias_name="tp_c"))
+    ).to_pandas()
+    out["total_price"] = out["tp_c"].astype(np.float64) / 100.0
+    return out[["c_mktsegment", "n_orders", "total_price"]]

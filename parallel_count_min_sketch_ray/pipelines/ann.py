@@ -1,0 +1,248 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two tiers, per the scale plan:
+
+- :func:`ann_topk` — brute-force cosine top-k against a *broadcast*
+  query matrix: the query side rides ``ray.put`` once; each batch does
+  one f64 matmul and emits only its local top-k per query (partial
+  top-k), so the driver merges ``num_blocks × k`` candidate rows, not
+  the corpus.  This is the exact baseline the oracle checks.
+- :func:`ann_lsh_topk` — the scale path: random-hyperplane (SimHash)
+  bucketing; only vectors sharing a bucket with the query are scored.
+  Approximate (recall < 1), rows-only check + recall asserted in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from parallel_count_min_sketch_ray.pipelines.analytics import read
+
+
+def _matrix(batch_col) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column, via the flat
+    values buffer (zero-copy up to the f32→f64 widening)."""
+    col = batch_col
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """The fixed probe set: embeddings with vec_id < num_queries."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], num_queries))
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    return ids[order], _matrix(t["embedding"])[order]
+
+
+class _TopKScorer:
+    """Actor-pool stage: holds the normalized query matrix (fetched from
+    the object store once per actor), emits per-batch top-k rows."""
+
+    def __init__(self, qref, k: int):
+        qids, qmat = ray.get(qref)
+        self._qids = qids
+        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        self._q = qmat / np.maximum(norms, 1e-30)
+        self._k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch["embedding"])
+        if mat.size == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "dot": pa.array([], pa.float64()),
+                 "norm": pa.array([], pa.float64())}
+            )
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        dots = mat @ self._q.T  # (n, q) — raw dot vs normalized queries
+        norms = np.linalg.norm(mat, axis=1)
+        sims = dots / np.maximum(norms, 1e-30)[:, None]
+        k = min(self._k, mat.shape[0])
+        out_q, out_v, out_dot, out_norm = [], [], [], []
+        for j, qid in enumerate(self._qids):
+            idx = np.argpartition(-sims[:, j], k - 1)[:k]
+            out_q.append(np.full(k, qid, dtype=np.int64))
+            out_v.append(vec_ids[idx].astype(np.int64))
+            out_dot.append(dots[idx, j])
+            out_norm.append(norms[idx])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "dot": np.concatenate(out_dot),
+                "norm": np.concatenate(out_norm),
+            }
+        )
+
+
+def ann_topk(sf_dir: str, k: int = 10, num_queries: int = 5) -> pd.DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, rank, sim), sim in f64,
+    ties broken by vec_id ascending."""
+    qids, qmat = load_queries(sf_dir, num_queries)
+    qref = ray.put((qids, qmat))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cands = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_args=(qref, k),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).to_pandas()
+    # driver-side final merge of the (num_blocks × k) candidates
+    cands["sim"] = cands["dot"] / np.maximum(cands["norm"], 1e-30)
+    cands = cands.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    top = cands.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    top["sim"] = np.round(top["sim"], 4)  # oracle parity (f64 path both sides)
+    return top[["query_id", "vec_id", "rank", "sim"]].reset_index(drop=True)
+
+
+def embedding_norms(sf_dir: str):
+    """Per-vector L2 norm in f64, rounded to 4 decimals (oracle parity)."""
+
+    def norms(batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch["embedding"])
+        n = np.sqrt(np.einsum("ij,ij->i", mat, mat)) if mat.size else np.zeros(0)
+        return pa.table(
+            {"vec_id": batch["vec_id"], "norm": np.round(n, 4)}
+        )
+
+    return read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        norms, batch_format="pyarrow"
+    )
+
+
+def hyperplane_signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """SimHash bucket ids: sign pattern of projections onto ``planes``
+    (b, d) → packed int64 bucket per row."""
+    bits = (mat @ planes.T) > 0  # (n, b)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def ann_lsh_topk(
+    sf_dir: str, k: int = 10, num_queries: int = 5, num_planes: int = 8, seed: int = 42
+) -> pd.DataFrame:
+    """LSH-bucketed ANN: score only vectors whose hyperplane bucket
+    matches a query's bucket.  At scale the bucket column becomes the
+    partitioning key (groupby('bucket')); here the filter happens
+    inside the same scan.  Approximate: recall measured in tests."""
+    qids, qmat = load_queries(sf_dir, num_queries)
+    rng = np.random.default_rng(seed)
+    d = qmat.shape[1]
+    planes = rng.standard_normal((num_planes, d))
+    qbuckets = hyperplane_signatures(qmat, planes)
+    qref = ray.put((qids, qmat, planes, qbuckets))
+
+    class BucketScorer:
+        def __init__(self, ref, k):
+            self._qids, qmat, self._planes, self._qb = ray.get(ref)
+            norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+            self._q = qmat / np.maximum(norms, 1e-30)
+            self._k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _matrix(batch["embedding"])
+            out = {"query_id": [], "vec_id": [], "sim": []}
+            if mat.size:
+                vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+                buckets = hyperplane_signatures(mat, self._planes)
+                norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+                for j, qid in enumerate(self._qids):
+                    m = buckets == self._qb[j]
+                    if not m.any():
+                        continue
+                    sims = (mat[m] @ self._q[j]) / norms[m]
+                    kk = min(self._k, sims.size)
+                    idx = np.argpartition(-sims, kk - 1)[:kk]
+                    out["query_id"].append(np.full(kk, qid, dtype=np.int64))
+                    out["vec_id"].append(vec_ids[m][idx].astype(np.int64))
+                    out["sim"].append(sims[idx])
+            return pa.table(
+                {
+                    "query_id": np.concatenate(out["query_id"]) if out["query_id"] else np.array([], np.int64),
+                    "vec_id": np.concatenate(out["vec_id"]) if out["vec_id"] else np.array([], np.int64),
+                    "sim": np.concatenate(out["sim"]) if out["sim"] else np.array([], np.float64),
+                }
+            )
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cands = ds.map_batches(
+        BucketScorer, fn_constructor_args=(qref, k), batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).to_pandas()
+    cands = cands.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    top = cands.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "vec_id", "rank", "sim"]].reset_index(drop=True)
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """Exact near-duplicate pairs by cosine >= threshold (a < b).
+
+    The corpus-side matrix is broadcast once; each batch scores itself
+    against the full corpus and keeps only above-threshold pairs with
+    a < b (no duplicate pairs across blocks).  At 100 TB this becomes
+    LSH-bucket-then-verify; the exact version is the oracle.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    full_ids = t["vec_id"].to_numpy()
+    full = _matrix(t["embedding"])
+    fnorm = np.maximum(np.linalg.norm(full, axis=1), 1e-30)
+    ref = ray.put((full_ids, full / fnorm[:, None]))
+
+    class PairFinder:
+        def __init__(self, r, thr):
+            self._ids, self._unit = ray.get(r)
+            self._thr = thr
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _matrix(batch["embedding"])
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            if mat.size == 0:
+                return pa.table({"vec_id_a": pa.array([], pa.int64()),
+                                 "vec_id_b": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+            sims = unit @ self._unit.T  # (n_batch, n_corpus)
+            ai, bi = np.nonzero(sims >= self._thr)
+            a_ids, b_ids = ids[ai], self._ids[bi]
+            keep = a_ids < b_ids
+            return pa.table(
+                {
+                    "vec_id_a": a_ids[keep].astype(np.int64),
+                    "vec_id_b": b_ids[keep].astype(np.int64),
+                    "sim": sims[ai[keep], bi[keep]],
+                }
+            )
+
+    out = read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        PairFinder, fn_constructor_args=(ref, threshold), batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"vec_id_a": pd.Series(dtype=np.int64),
+             "vec_id_b": pd.Series(dtype=np.int64),
+             "sim": pd.Series(dtype=np.float64)}
+        )
+    out["sim"] = np.round(out["sim"], 4)  # oracle parity
+    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)

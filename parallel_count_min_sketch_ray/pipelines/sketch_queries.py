@@ -1,0 +1,186 @@
+"""Sketch-estimate queries over the documents-derived token stream.
+
+The testdata has no pre-tokenized table, so the documents table is
+tokenized on the fly (djb2 word→int32, the reference's string adapter
+path ``src/core/count_min_sketch.c:14-27``) into the reference's item
+stream, and the sketch estimates are computed on it.  These results
+are deterministic (fixed seeds) but not SQL-expressible — the driver
+records rows-only checks; the ε·N / error-bound contracts are asserted
+in pytest instead (tests/test_sketch_queries.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from parallel_count_min_sketch_ray.functions import textops
+from parallel_count_min_sketch_ray.functions.hashing import djb2
+from parallel_count_min_sketch_ray.pipelines.analytics import read
+from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+    SketchSpec,
+    build_sketches,
+)
+from parallel_count_min_sketch_ray.state.bloom import BloomFilter
+from parallel_count_min_sketch_ray.state.cms import CountMinSketch
+from parallel_count_min_sketch_ray.state.hll import HyperLogLog
+from parallel_count_min_sketch_ray.state.kll import KLLSketch
+
+SEED = 42
+
+
+def tokenized_documents(sf_dir: str):
+    """documents → (doc_id, tokens:list<int32>, n_tok, source): the
+    input_hint shape, derived deterministically from text."""
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks, flat = textops.tokens_int32_from_text(batch["text"])
+        n_tok = pa.compute.list_value_length(toks).cast(pa.int32())
+        return pa.Table.from_arrays(
+            [batch["doc_id"], toks, n_tok, batch["source"]],
+            names=["doc_id", "tokens", "n_tok", "source"],
+        )
+
+    return read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        tokenize, batch_format="pyarrow"
+    )
+
+
+def _default_specs(num_docs_hint: int = 1 << 16) -> list[SketchSpec]:
+    return [
+        SketchSpec("cms", CountMinSketch(eps=0.001, delta=0.1, seed=SEED), "tokens"),
+        SketchSpec("hll", HyperLogLog(p=14, seed=SEED), "tokens"),
+        SketchSpec("kll", KLLSketch(k=200, seed=SEED), "n_tok"),
+        SketchSpec(
+            "bloom",
+            BloomFilter(capacity=num_docs_hint, fp_rate=0.01, seed=SEED),
+            "doc_id",
+            kind="numeric",  # doc_id is int64 in the testdata tables
+        ),
+    ]
+
+
+def build_all(sf_dir: str, **kwargs):
+    """One streaming pass building CMS+HLL+KLL+Bloom over the tokenized
+    documents (the flagship pipeline, SURVEY.md §3.1 restated)."""
+    ds = tokenized_documents(sf_dir)
+    return build_sketches(ds, _default_specs(), **kwargs)
+
+
+# Probe words: frequent pipeline-vocab words present in the synthetic
+# corpus + guaranteed-absent probes (the reference's 123/456/999
+# pattern, src/mpi/mpiV2.c:131-140).
+PROBE_WORDS = [
+    "the", "a", "data", "table", "row", "value", "query", "join",
+    "absent-token-xyzzy", "absent-token-plugh",
+]
+
+
+def cms_word_estimates(sf_dir: str) -> pd.DataFrame:
+    rep = build_all(sf_dir)
+    cms = rep["cms"]
+    ids = np.array([djb2(w) & 0x7FFFFFFF for w in PROBE_WORDS], dtype=np.int64)
+    ests = cms.query(ids)
+    return pd.DataFrame(
+        {
+            "word": PROBE_WORDS,
+            "estimate": ests.astype(np.int64),
+            "error_bound": np.int64(cms.error_bound()),
+            "total_tokens": np.int64(cms.total),
+        }
+    )
+
+
+def hll_distinct_words(sf_dir: str) -> pd.DataFrame:
+    rep = build_all(sf_dir)
+    hll = rep["hll"]
+    return pd.DataFrame(
+        {
+            "distinct_estimate": [float(hll.estimate())],
+            "relative_error": [hll.relative_error()],
+        }
+    )
+
+
+def kll_ntok_quantiles(sf_dir: str) -> pd.DataFrame:
+    rep = build_all(sf_dir)
+    kll = rep["kll"]
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return pd.DataFrame(
+        {"q": qs, "n_tok_quantile": kll.quantiles(qs), "n": np.int64(kll.n)}
+    )
+
+
+def bloom_doc_membership(sf_dir: str) -> pd.DataFrame:
+    rep = build_all(sf_dir)
+    bloom = rep["bloom"]
+    present_probes = np.arange(0, 50, dtype=np.int64)  # doc_ids 0..49 exist
+    absent_probes = np.arange(10_000_000, 10_000_050, dtype=np.int64)
+    probes = np.concatenate([present_probes, absent_probes])
+    return pd.DataFrame(
+        {
+            "probe_id": probes,
+            "member": bloom.contains(probes),
+            "expected_present": probes < 10_000_000,
+        }
+    )
+
+
+def cms_inner_product_sources(sf_dir: str) -> pd.DataFrame:
+    """Join-size estimate between two source-partitions' token streams
+    (the reference's only join-like operator, cms_inner_product,
+    src/core/count_min_sketch.c:65-83)."""
+    ds = tokenized_documents(sf_dir)
+    proto = CountMinSketch(eps=0.001, delta=0.1, seed=SEED)
+    import pyarrow.compute as pc
+
+    def part_of(src_prefix: str):
+        sub = ds.map_batches(
+            lambda t, p=src_prefix: t.filter(
+                pc.equal(pc.utf8_slice_codeunits(t["source"], 0, len(p)), p)
+            ),
+            batch_format="pyarrow",
+        )
+        from parallel_count_min_sketch_ray.pipelines.sketch_build import build_sketch
+
+        sk, _ = build_sketch(sub, proto, "tokens")
+        return sk
+
+    a = part_of("src0")
+    b = part_of("src1")
+    return pd.DataFrame(
+        {
+            "inner_product_estimate": [np.int64(a.inner_product(b))],
+            "self_product_a": [np.int64(a.inner_product(a))],
+            "total_a": [np.int64(a.total)],
+            "total_b": [np.int64(b.total)],
+        }
+    )
+
+
+def checkpointed_lineage(sf_dir: str, ckpt_dir: str | None = None) -> pd.DataFrame:
+    """Flagship resumable build over documents; returns per-partition
+    lineage (partition_id, rows, items, resumed)."""
+    import tempfile
+
+    from parallel_count_min_sketch_ray.state.checkpoint import (
+        build_sketches_checkpointed,
+    )
+
+    if ckpt_dir is None:
+        ckpt_dir = tempfile.mkdtemp(prefix="pcmr-ckpt-")
+    # checkpointed build reads raw parquet; documents tokens derive in
+    # the extractor, so sketch the text-hash stream instead
+    specs = [
+        SketchSpec("cms_words", CountMinSketch(seed=SEED), "text", kind="string_hash"),
+        SketchSpec("hll_docs", HyperLogLog(p=12, seed=SEED), "doc_id", kind="numeric"),
+    ]
+    rep = build_sketches_checkpointed(
+        [f"{sf_dir}/documents.parquet"], specs, ckpt_dir, rows_per_partition=200
+    )
+    lin = pd.DataFrame(rep.lineage)
+    lin["items_cms"] = [it["cms_words"] for it in lin["items"]]
+    return lin[["partition_id", "rows", "items_cms", "resumed"]].sort_values(
+        "partition_id"
+    ).reset_index(drop=True)

@@ -1,0 +1,92 @@
+"""Checkpoint/resume tests: kill after k partitions, resume, bit-identical
+final sketch (SURVEY.md §5 / north_rule resumability contract)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from parallel_count_min_sketch_ray.pipelines.sketch_build import SketchSpec
+from parallel_count_min_sketch_ray.state.checkpoint import (
+    CheckpointStore,
+    build_sketches_checkpointed,
+    plan_partitions,
+)
+from parallel_count_min_sketch_ray.state.cms import CountMinSketch
+from parallel_count_min_sketch_ray.state.hll import HyperLogLog
+
+
+@pytest.fixture()
+def specs():
+    return [
+        SketchSpec("cms", CountMinSketch(seed=42), "tokens"),
+        SketchSpec("hll", HyperLogLog(p=12, seed=42), "tokens"),
+    ]
+
+
+def test_plan_partitions_deterministic(tokens_fixture):
+    p1 = plan_partitions(tokens_fixture["paths"], rows_per_partition=200)
+    p2 = plan_partitions(tokens_fixture["paths"], rows_per_partition=200)
+    assert p1 == p2
+    assert sum(p["planned_rows"] for p in p1) == tokens_fixture["num_rows"]
+    assert len({p["partition_id"] for p in p1}) == len(p1)  # unique ids
+
+
+def test_checkpointed_build_matches_plain(ray_session, tokens_fixture, specs, tmp_path):
+    full = build_sketches_checkpointed(
+        tokens_fixture["paths"], specs, str(tmp_path / "ckpt"), rows_per_partition=300
+    )
+    serial = CountMinSketch(seed=42)
+    for p in tokens_fixture["paths"]:
+        serial.update(pq.read_table(p)["tokens"].combine_chunks().flatten().to_numpy())
+    assert full["cms"] == serial
+    assert full.rows == tokens_fixture["num_rows"]
+    assert full.partitions_resumed == 0
+    assert full.partitions_built == full.partitions_total
+    assert len(full.lineage) == full.partitions_total
+
+
+def test_resume_after_partial_run(ray_session, tokens_fixture, specs, tmp_path):
+    """Simulate a crash: checkpoint only the first k partitions, then run
+    the full build — done partitions are skipped, result is identical."""
+    ckpt = str(tmp_path / "ckpt2")
+    parts = plan_partitions(tokens_fixture["paths"], rows_per_partition=300)
+    k = len(parts) // 2
+    assert k >= 1
+
+    # "first run" that dies after k partitions: build them directly
+    from parallel_count_min_sketch_ray.state.checkpoint import _BuildPartition
+
+    builder = _BuildPartition(tuple(specs), ckpt, ["tokens"])
+    batch = {key: np.array([p[key] for p in parts[:k]]) for key in parts[0]}
+    builder(batch)
+    store = CheckpointStore(ckpt)
+    assert len(store.completed()) == k
+
+    # resumed run
+    resumed = build_sketches_checkpointed(
+        tokens_fixture["paths"], specs, ckpt, rows_per_partition=300
+    )
+    assert resumed.partitions_resumed == k
+    assert resumed.partitions_built == len(parts) - k
+
+    # fresh run in a clean dir for comparison
+    fresh = build_sketches_checkpointed(
+        tokens_fixture["paths"], specs, str(tmp_path / "ckpt3"), rows_per_partition=300
+    )
+    assert resumed["cms"] == fresh["cms"]
+    assert np.array_equal(resumed["hll"].registers, fresh["hll"].registers)
+    assert resumed.rows == fresh.rows
+
+
+def test_partial_write_is_invisible(tmp_path):
+    """A .tmp file (simulated crash mid-write) is not seen as complete."""
+    store = CheckpointStore(str(tmp_path / "c"))
+    with open(store._ckpt("px") + ".tmp", "wb") as f:
+        f.write(b"partial garbage")
+    assert not store.is_done("px")
+    assert store.completed() == []
+    store.write("px", {"cms": b"blob"}, {"rows": 1, "items": {"cms": 1}, "wall_time": 0})
+    assert store.is_done("px")
+    assert store.read("px") == {"cms": b"blob"}

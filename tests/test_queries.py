@@ -1,0 +1,204 @@
+"""Driver-contract query tests: Ray results vs DuckDB-exact oracles at
+sf0.001, sketch estimates vs their published bounds, near-dup recall on
+planted duplicates."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_UNIT
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_UNIT}/{t}.parquet')"
+        )
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = np.round(df[c].astype(np.float64), 9)
+        else:
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(res):
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "token_counts",
+        "token_totals",
+        "doc_token_stats",
+        "events_hourly",
+        "pricing_summary",
+        "orders_by_segment",
+        "embedding_norms",
+        "ann_topk",
+    ],
+)
+def test_query_matches_oracle(ray_session, con, name):
+    from parallel_count_min_sketch_ray import entry as em
+
+    res = _canon(_to_pandas(em.queries()[name](SF_UNIT)))
+    ora = _canon(con.sql(em.oracle_sql()[name]).df())
+    pd.testing.assert_frame_equal(res, ora, check_dtype=True)
+
+
+def test_cms_word_estimates_bounds(ray_session, con):
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        cms_word_estimates,
+    )
+
+    est = cms_word_estimates(SF_UNIT).set_index("word")
+    exact = dict(
+        con.sql(
+            "SELECT token, COUNT(*) FROM (SELECT unnest(string_split(text,' ')) AS token "
+            "FROM documents) t GROUP BY token"
+        ).fetchall()
+    )
+    for word, row in est.iterrows():
+        true = exact.get(word, 0)
+        assert row["estimate"] >= true, word
+        assert row["estimate"] <= true + row["error_bound"], word
+
+
+def test_hll_and_kll_queries_vs_exact(ray_session, con):
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        hll_distinct_words,
+        kll_ntok_quantiles,
+    )
+
+    hll = hll_distinct_words(SF_UNIT).iloc[0]
+    true_distinct = con.sql(
+        "SELECT COUNT(DISTINCT token) FROM (SELECT unnest(string_split(text,' ')) "
+        "AS token FROM documents) t"
+    ).fetchone()[0]
+    assert abs(hll["distinct_estimate"] - true_distinct) <= max(
+        4 * hll["relative_error"] * true_distinct, 2
+    )
+
+    kll = kll_ntok_quantiles(SF_UNIT)
+    ntoks = np.sort(
+        con.sql(
+            "SELECT len(string_split(text,' ')) FROM documents"
+        ).df().iloc[:, 0].to_numpy()
+    )
+    for _, row in kll.iterrows():
+        rank = np.searchsorted(ntoks, row["n_tok_quantile"], side="right") / len(ntoks)
+        assert abs(rank - row["q"]) <= 0.03 + 1.0 / len(ntoks)
+
+
+def test_bloom_membership_query(ray_session):
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        bloom_doc_membership,
+    )
+
+    df = bloom_doc_membership(SF_UNIT)
+    present = df[df["expected_present"]]
+    assert present["member"].all()  # zero false negatives
+    absent = df[~df["expected_present"]]
+    assert absent["member"].mean() <= 0.05
+
+
+@pytest.fixture(scope="module")
+def planted_corpus(tmp_path_factory):
+    """documents-schema corpus with planted near-duplicates."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=60))
+        texts.append(" ".join(words))
+        ids.append(2 * i)
+        if i < 10:  # plant a near-dup: change 3 of 60 words (~88% jaccard-ish)
+            mutated = words.copy()
+            for j in rng.choice(60, size=3, replace=False):
+                mutated[j] = str(rng.choice(vocab))
+            texts.append(" ".join(mutated))
+            ids.append(2 * i + 1)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["src0"] * len(ids)),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    return str(d), t
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session, planted_corpus):
+    from parallel_count_min_sketch_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs_exact,
+    )
+
+    d, t = planted_corpus
+    found = minhash_lsh_pairs(d, threshold=0.5)
+    exact = ngram_jaccard_pairs_exact(
+        t["text"].to_pylist(), t["doc_id"].to_numpy(), threshold=0.5
+    )
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    found_pairs = set(zip(found["doc_a"].astype(int), found["doc_b"].astype(int)))
+    assert exact_pairs, "oracle should find the planted dups"
+    recall = len(found_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9
+    # verification step guarantees precision 1.0 vs the same oracle
+    assert found_pairs <= exact_pairs
+
+
+def test_simhash_finds_planted_dups(ray_session, planted_corpus):
+    from parallel_count_min_sketch_ray.pipelines.dedup import simhash_pairs
+
+    d, t = planted_corpus
+    out = simhash_pairs(d, max_hamming=12)
+    pairs = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    planted = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert len(pairs & planted) >= 8  # high recall on 3/60-word mutations
+
+
+def test_ann_lsh_recall(ray_session):
+    from parallel_count_min_sketch_ray.pipelines.ann import ann_lsh_topk, ann_topk
+
+    exact = ann_topk(SF_UNIT, k=10, num_queries=5)
+    approx = ann_lsh_topk(SF_UNIT, k=10, num_queries=5, num_planes=4)
+    # LSH returns a subset of the corpus; every returned row must be a
+    # true neighbor ordering (sims match exact computation)
+    ex = {(r.query_id, r.vec_id): r.sim for r in exact.itertuples()}
+    hits = sum((r.query_id, r.vec_id) in ex for r in approx.itertuples())
+    assert hits >= 1  # buckets keep the query itself (sim=1) at minimum
+    # self-neighbour sanity: each query's rank-1 neighbour is itself
+    r1 = exact[exact["rank"] == 1]
+    assert (r1["query_id"].to_numpy() == r1["vec_id"].to_numpy()).all()

@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: distributed CMS build throughput (tokens/s) over a cached
+deterministic bench corpus in the input_hint shape
+(doc_id, tokens:list<int32>, n_tok, source), mirroring the reference's
+benchmarked pipeline (mpiV2 build, ``/root/reference/mpi_benchmark.py``).
+Reference anchors (BASELINE.md): 9.4M items/s serial, ~49-55M items/s
+at 32 MPI ranks.
+
+Also times every driver query over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+``--scaling``: runs the headline build twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + efficiency (T_8/T_32)/4 — the sandbox stand-in for the
+N→4N-node cluster criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Allocator tuning — set BEFORE ray.init so workers inherit. This VM
+# serializes concurrent first-touch page faults; allocators that
+# return pages to the OS (jemalloc purging, glibc mmap'd large blocks)
+# re-pay that fault cost on every batch. mimalloc + a high glibc mmap
+# threshold keep pages resident: measured 0.07s vs 4.6s steady-state
+# parquet reads at 32-way concurrency.
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "1000000"))
+BENCH_SEED = 42
+CORPUS_DIR = f"/tmp/pcmr-bench-corpus-r{BENCH_ROWS}-s{BENCH_SEED}"
+
+
+def ensure_corpus() -> dict:
+    """Generate (once) the bench tokens corpus; ~119M tokens at 1M rows."""
+    manifest_path = os.path.join(CORPUS_DIR, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+    from parallel_count_min_sketch_ray.sources.fixture import generate_tokens_table
+
+    return generate_tokens_table(
+        CORPUS_DIR, num_rows=BENCH_ROWS, seed=BENCH_SEED, num_files=32,
+        with_oracles=False,
+    )
+
+
+def run_headline(num_cpus: int) -> dict:
+    """Timed distributed CMS build over the bench corpus."""
+    import ray
+    import ray.data
+
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        SketchSpec,
+        build_sketches,
+    )
+    from parallel_count_min_sketch_ray.state.cms import CountMinSketch
+
+    manifest = ensure_corpus()
+    paths = manifest["paths"]
+    # warm the page cache so we measure compute+shuffle, not first I/O
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    def build():
+        ds = ray.data.read_parquet(
+            paths, columns=["tokens"], override_num_blocks=len(paths)
+        )
+        return build_sketches(
+            ds,
+            [
+                SketchSpec(
+                    "cms",
+                    CountMinSketch(eps=0.001, delta=0.1, seed=BENCH_SEED),
+                    "tokens",
+                )
+            ],
+            batch_size=32768,
+            combine_fanin=64,
+            combine_levels=1,
+        )
+
+    # untimed warm passes: spin up the long-lived worker pool and fault
+    # its memory in (workers are long-lived on a real cluster; this VM
+    # pays a large one-time per-process page-fault cost otherwise —
+    # see the allocator note at the top of this file)
+    warmups = int(os.environ.get("GRAFT_BENCH_WARMUPS", "4"))
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "5"))
+    for _ in range(warmups):
+        build()
+    # median of timed runs (mirrors the reference's 10-rep averaging,
+    # mpi_benchmark.py:143-150; median resists VM noise better)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        report = build()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    wall = times[len(times) // 2]
+    tokens = report.items["cms"]
+    return {
+        "wall_sec": round(wall, 3),
+        "all_runs_sec": [round(t, 3) for t in times],
+        "tokens": tokens,
+        "tokens_per_sec": round(tokens / wall, 1),
+        "rows": report.rows,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from parallel_count_min_sketch_ray import entry as em
+
+    only = os.environ.get("GRAFT_BENCH_QUERIES")
+    names = only.split(",") if only else None
+    out: dict[str, float] = {}
+    for name, fn in em.queries().items():
+        if names is not None and name not in names:
+            continue
+        t0 = time.perf_counter()
+        try:
+            res = fn(sf_dir)
+            import ray.data
+
+            if isinstance(res, ray.data.Dataset):
+                res.materialize()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # record failures visibly, keep going
+            out[name] = -1.0
+            print(f"# query {name} failed: {e}", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if "--scaling" in sys.argv:
+        # the scaling criterion needs a corpus big enough that compute
+        # dominates the ~1s pipeline floor at 32 CPUs: ~1.9B tokens
+        # (T_8 ~ 30s).  Generated once, cached in /tmp.
+        scaling_rows = os.environ.get("GRAFT_SCALING_ROWS", "16000000")
+        results = {}
+        for n in (8, 32):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                GRAFT_BENCH_HEADLINE_ONLY="1",
+                GRAFT_BENCH_ROWS=scaling_rows,
+                GRAFT_BENCH_WARMUPS="2",
+                GRAFT_BENCH_REPS="3",
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            results[n] = json.loads(out.strip().splitlines()[-1])["headline"]
+        t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+        eff = (t8 / t32) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "cms_build_scaling",
+                    "unit": "sec",
+                    "sec_8": t8,
+                    "sec_32": t32,
+                    "tokens_per_sec_8": results[8]["tokens_per_sec"],
+                    "tokens_per_sec_32": results[32]["tokens_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                    "tokens": results[8]["tokens"],
+                }
+            )
+        )
+        return
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from parallel_count_min_sketch_ray.shipping import register_by_value
+
+        register_by_value()
+
+        headline = run_headline(num_cpus)
+        queries = (
+            {}
+            if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
+            else run_queries(sf_dir)
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "cms_build_wall_sec",
+                    "value": headline["wall_sec"],
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf_dir,
+                    "num_cpus": num_cpus,
+                    "headline": headline,
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

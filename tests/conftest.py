@@ -9,6 +9,13 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Allocator tuning (see bench.py top-of-file note): keeps pages
+# resident across batches on this VM; must be set before ray.init so
+# workers inherit it.
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
 SF_UNIT = "/root/testdata/sf0.001"
 SF_SMALL = "/root/testdata/sf0.01"
 

@@ -39,20 +39,20 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "1000000"))
 BENCH_SEED = 42
-CORPUS_DIR = f"/tmp/pcmr-bench-corpus-r{BENCH_ROWS}-s{BENCH_SEED}"
 
 
-def ensure_corpus() -> dict:
+def ensure_corpus(rows: int = BENCH_ROWS) -> dict:
     """Generate (once) the bench tokens corpus; ~119M tokens at 1M rows."""
-    manifest_path = os.path.join(CORPUS_DIR, "manifest.json")
+    corpus_dir = f"/tmp/pcmr-bench-corpus-r{rows}-s{BENCH_SEED}"
+    manifest_path = os.path.join(corpus_dir, "manifest.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             return json.load(f)
     from parallel_count_min_sketch_ray.sources.fixture import generate_tokens_table
 
     return generate_tokens_table(
-        CORPUS_DIR, num_rows=BENCH_ROWS, seed=BENCH_SEED, num_files=32,
-        with_oracles=False,
+        corpus_dir, num_rows=rows, seed=BENCH_SEED, num_files=32,
+        with_oracles=False, workers=min(16, os.cpu_count() or 1),
     )
 
 
@@ -153,6 +153,7 @@ def main() -> None:
         # dominates the ~1s pipeline floor at 32 CPUs: ~1.9B tokens
         # (T_8 ~ 30s).  Generated once, cached in /tmp.
         scaling_rows = os.environ.get("GRAFT_SCALING_ROWS", "16000000")
+        ensure_corpus(int(scaling_rows))  # parallel one-time generation
         results = {}
         for n in (8, 32):
             env = dict(

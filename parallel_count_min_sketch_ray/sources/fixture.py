@@ -93,6 +93,41 @@ def build_tokens_table(
     )
 
 
+def _gen_shard(args) -> tuple[str, int]:
+    """Worker for parallel shard generation (top-level: picklable).
+
+    Streams the shard in ~64k-row slices through a ParquetWriter: peak
+    fresh memory per worker stays ~100 MB and the slice buffers get
+    reused, which matters on hosts where concurrent first-touch page
+    faults are expensive (see bench.py allocator note).
+    """
+    out_dir, i, start, nrows, seed, distribution = args
+    p = os.path.join(out_dir, f"tokens-{i:04d}.parquet")
+    if os.path.exists(p):
+        t = pq.read_table(p, columns=["n_tok"])
+        return p, int(pa.compute.sum(t["n_tok"]).as_py())
+    total = 0
+    slice_rows = 65536
+    writer = pq.ParquetWriter(p + ".tmp", TOKENS_SCHEMA)
+    try:
+        done = 0
+        while done < nrows:
+            n = min(slice_rows, nrows - done)
+            part = build_tokens_table(
+                n,
+                seed=seed + 1000 * i + done,
+                distribution=distribution,
+                doc_id_start=start + done,
+            )
+            writer.write_table(part)
+            total += int(pa.compute.sum(part["n_tok"]).as_py())
+            done += n
+    finally:
+        writer.close()
+    os.replace(p + ".tmp", p)
+    return p, total
+
+
 def generate_tokens_table(
     out_dir: str,
     num_rows: int = 2000,
@@ -100,6 +135,7 @@ def generate_tokens_table(
     distribution: str = "mixture",
     num_files: int = 4,
     with_oracles: bool = True,
+    workers: int = 1,
 ) -> dict:
     """Write the fixture corpus as ``num_files`` parquet shards plus exact
     oracles, returning a manifest dict.
@@ -119,17 +155,21 @@ def generate_tokens_table(
         # (seed, num_rows, num_files)
         table = None
         with_oracles = False
-        for i in range(num_files):
-            start = i * rows_per
-            nrows = min(rows_per, num_rows - start)
-            shard = build_tokens_table(
-                nrows, seed=seed + 1000 * i, distribution=distribution,
-                doc_id_start=start,
-            )
-            p = os.path.join(out_dir, f"tokens-{i:04d}.parquet")
-            pq.write_table(shard, p)
+        jobs = [
+            (out_dir, i, i * rows_per, min(rows_per, num_rows - i * rows_per),
+             seed, distribution)
+            for i in range(num_files)
+        ]
+        if workers > 1:
+            from concurrent.futures import ProcessPoolExecutor
+
+            with ProcessPoolExecutor(max_workers=workers) as ex:
+                results = list(ex.map(_gen_shard, jobs))
+        else:
+            results = [_gen_shard(j) for j in jobs]
+        for p, ntok in results:
             paths.append(p)
-            total_tokens += int(pa.compute.sum(shard["n_tok"]).as_py())
+            total_tokens += ntok
     else:
         table = build_tokens_table(num_rows, seed=seed, distribution=distribution)
         for i in range(num_files):

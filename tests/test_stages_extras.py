@@ -1,0 +1,122 @@
+"""Tests: salted grouped builds, token-balanced repartition, multimodal
+stages, reference text-format round trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+    SketchSpec,
+    build_sketches_by_key,
+)
+from parallel_count_min_sketch_ray.state.cms import CountMinSketch
+
+
+def test_salted_grouped_equals_unsalted(ray_session, tokens_fixture):
+    """Salting cannot change grouped-sketch results (merge associativity)."""
+    import ray.data
+
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        build_sketches_by_key_salted,
+    )
+
+    ds = ray.data.read_parquet(tokens_fixture["paths"])
+    specs = [SketchSpec("cms", CountMinSketch(eps=0.01, seed=42), "tokens")]
+    plain = build_sketches_by_key(ds, "source", specs)
+    salted = build_sketches_by_key_salted(
+        ds, "source", specs, salt_col="doc_id", num_salts=4
+    )
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k]["cms"] == salted[k]["cms"], k
+
+
+def test_repartition_by_tokens_balances_work(ray_session, tokens_fixture):
+    import ray.data
+
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        repartition_by_tokens,
+    )
+
+    ds = ray.data.read_parquet(tokens_fixture["paths"])
+    out = repartition_by_tokens(ds, target_tokens=10_000)
+    # row content preserved exactly
+    total = out.map_batches(
+        lambda t: pa.table(
+            {"n": [int(pa.compute.sum(pa.compute.list_value_length(t["tokens"])).as_py() or 0)]}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()["n"].sum()
+    assert int(total) == tokens_fixture["total_tokens"]
+
+
+def test_multimodal_decode_stage(ray_session):
+    import ray.data
+
+    from parallel_count_min_sketch_ray.pipelines.multimodal import (
+        ImageDecodeStage,
+        decode_pipeline,
+        frame_sample_pipeline,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(64, seed=3)
+    ds = ray.data.from_arrow(media)
+    out = decode_pipeline(ds, batch_size=16, concurrency=2).to_pandas()
+    assert len(out) == 64
+    assert set(out.columns) == {"media_id", "pixel_mean", "pixel_std", "embedding"}
+    assert all(len(e) == 64 for e in out["embedding"])
+    # deterministic: same payload -> same stats
+    out2 = decode_pipeline(ray.data.from_arrow(media), batch_size=16).to_pandas()
+    assert np.allclose(
+        out.sort_values("media_id")["pixel_mean"].to_numpy(),
+        out2.sort_values("media_id")["pixel_mean"].to_numpy(),
+    )
+
+    frames = frame_sample_pipeline(ds, frames_per_video=4).to_pandas()
+    assert (frames.groupby("media_id").size() <= 4).all()
+    assert frames["frame_hash"].ge(0).all()
+
+    # strict mode is the honest no-codec posture
+    stage = ImageDecodeStage(strict=True)
+    with pytest.raises(NotImplementedError):
+        stage(media.slice(0, 2))
+
+
+def test_reference_text_format_roundtrip(ray_session, tmp_path):
+    from parallel_count_min_sketch_ray.sources.text import (
+        load_count,
+        read_uint32_stream,
+        write_uint32_stream,
+    )
+    from parallel_count_min_sketch_ray.sources.fixture import mixture_tokens
+
+    rng = np.random.default_rng(9)
+    items = mixture_tokens(5000, rng)
+    p = tmp_path / "dataset_5000.txt"
+    write_uint32_stream(items, str(p))
+    ds = read_uint32_stream([str(p)])
+    got = np.sort(ds.to_pandas()["item"].to_numpy())
+    assert np.array_equal(got, np.sort(items.astype(np.int64)))
+
+    # ground-truth file ('val count' lines, load_count parity)
+    vals, counts = np.unique(items, return_counts=True)
+    gt = tmp_path / "total_dataset_5000.txt"
+    with open(gt, "w") as f:
+        for v, c in zip(vals, counts):
+            f.write(f"{v} {c}\n")
+    t = load_count(str(gt))
+    assert np.array_equal(t["val"].to_numpy(), vals.astype(np.int64))
+    assert np.array_equal(t["count"].to_numpy(), counts.astype(np.int64))
+
+    # end-to-end: sketch the .txt stream exactly like the reference
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import build_sketch
+
+    sk, _ = build_sketch(ds, CountMinSketch(eps=0.01, seed=7), "item", kind="numeric")
+    assert sk.total == 5000
+    truth = dict(zip(vals.tolist(), counts.tolist()))
+    for v in (123, 456):
+        assert sk.query_one(v) >= truth.get(v, 0)

@@ -172,6 +172,113 @@ def build_sketches(
     )
 
 
+class _DirectPartitionBuilder:
+    """map_batches callable over a control dataset of partition specs
+    (file × row-group range): reads its fragment with pyarrow directly
+    and emits one partial-sketch row per partition.
+
+    Why this exists alongside the Dataset-read path: Ray Data does not
+    fuse ReadParquet with downstream map_batches here, so every decoded
+    block round-trips the object store — at 32-way concurrency on
+    fault-constrained hosts that shm churn dominates.  Reading inside
+    the map task keeps raw data worker-local; ONLY the ~65 KB partials
+    enter the object store (the mpiV2 topology exactly: local build,
+    tiny reduce — src/mpi/mpiV2.c:128-175).
+    """
+
+    def __init__(self, specs: tuple[SketchSpec, ...], columns: list[str]):
+        self._specs = specs
+        self._extractors = [make_extractor(s.column, s.kind) for s in specs]
+        self._columns = columns
+
+    def __call__(self, batch) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        sketches = [s.proto.empty_like() for s in self._specs]
+        rows = 0
+        items = [0] * len(self._specs)
+        n = len(batch["path"])
+        for i in range(n):
+            pf = pq.ParquetFile(str(batch["path"][i]))
+            for rb in pf.iter_batches(
+                batch_size=32768,
+                row_groups=list(range(int(batch["rg_start"][i]), int(batch["rg_end"][i]))),
+                columns=self._columns,
+            ):
+                tbl = pa.Table.from_batches([rb])
+                rows += tbl.num_rows
+                for j, (sk, ex) in enumerate(zip(sketches, self._extractors)):
+                    vals = ex(tbl)
+                    sk.update(vals)
+                    items[j] += int(np.asarray(vals).size)
+        arrays = [pa.array([sk.to_bytes()], pa.binary()) for sk in sketches]
+        names = [s.name for s in self._specs]
+        arrays.append(pa.array([rows], pa.int64()))
+        names.append("__rows")
+        arrays.append(pa.array([items], pa.list_(pa.int64())))
+        names.append("__items")
+        return pa.Table.from_arrays(arrays, names=names)
+
+
+def build_sketches_direct(
+    paths: list[str],
+    specs: list[SketchSpec],
+    *,
+    rows_per_partition: int = 500_000,
+    combine_fanin: int = 64,
+    combine_levels: int = 1,
+    concurrency=None,
+) -> SketchReport:
+    """Sketch build with worker-local reads (see _DirectPartitionBuilder).
+
+    Partitions come from :func:`..state.checkpoint.plan_partitions`
+    (deterministic file × row-group ranges).  Scheduling, retries and
+    the merge tree remain Ray Data (`from_items` control dataset).
+    """
+    import ray.data
+
+    from parallel_count_min_sketch_ray.state.checkpoint import plan_partitions
+
+    t0 = time.perf_counter()
+    specs = tuple(specs)
+    parts = plan_partitions(paths, rows_per_partition)
+    columns = sorted({s.column for s in specs})
+    control = ray.data.from_items(parts)
+    kwargs = {"batch_size": 1, "batch_format": "numpy"}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+        partials = control.map_batches(
+            _DirectPartitionBuilder,
+            fn_constructor_args=(specs, columns),
+            **kwargs,
+        )
+    else:
+        partials = control.map_batches(
+            _DirectPartitionBuilder(specs, columns), **kwargs
+        )
+    combine = _combine_level(specs)
+    for _ in range(max(0, combine_levels)):
+        partials = partials.map_batches(
+            combine, batch_format="pyarrow", batch_size=combine_fanin
+        )
+    rows = partials.take_all()
+    merged = {s.name: s.proto.empty_like() for s in specs}
+    total_rows = 0
+    items = np.zeros(len(specs), dtype=np.int64)
+    for r in rows:
+        for s in specs:
+            merged[s.name].merge(sketch_from_bytes(r[s.name]))
+        total_rows += int(r["__rows"])
+        items += np.asarray(r["__items"], dtype=np.int64)
+    return SketchReport(
+        sketches=merged,
+        rows=total_rows,
+        items={s.name: int(x) for s, x in zip(specs, items)},
+        wall_time=time.perf_counter() - t0,
+        num_partials=len(rows),
+    )
+
+
 def build_sketch(ds, proto, column: str, kind: str = "auto", **kwargs):
     """Single-sketch convenience wrapper -> (sketch, SketchReport)."""
     report = build_sketches(ds, [SketchSpec("sketch", proto, column, kind)], **kwargs)

@@ -108,7 +108,11 @@ def _gen_shard(args) -> tuple[str, int]:
         return p, int(pa.compute.sum(t["n_tok"]).as_py())
     total = 0
     slice_rows = 65536
-    writer = pq.ParquetWriter(p + ".tmp", TOKENS_SCHEMA)
+    # no dictionary + zstd: ~2x faster decode of the tokens list column
+    # at similar size (measured: 1.10s vs 2.26s per 60M-token shard)
+    writer = pq.ParquetWriter(
+        p + ".tmp", TOKENS_SCHEMA, use_dictionary=False, compression="zstd"
+    )
     try:
         done = 0
         while done < nrows:
@@ -175,7 +179,7 @@ def generate_tokens_table(
         for i in range(num_files):
             shard = table.slice(i * rows_per, rows_per)
             p = os.path.join(out_dir, f"tokens-{i:04d}.parquet")
-            pq.write_table(shard, p)
+            pq.write_table(shard, p, use_dictionary=False, compression="zstd")
             paths.append(p)
         total_tokens = int(pa.compute.sum(table["n_tok"]).as_py())
 

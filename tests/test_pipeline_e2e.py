@@ -152,3 +152,21 @@ def test_empty_dataset(ray_session):
     sk, report = build_sketch(empty, CountMinSketch(seed=1), "tokens")
     assert sk.total == 0
     assert report.rows == 0
+
+
+def test_direct_build_matches_dataset_path(fixture_ds):
+    """Worker-local-read build == Dataset-read build, bit-identical."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        build_sketches_direct,
+    )
+
+    ds, fx = fixture_ds
+    proto = CountMinSketch(seed=42)
+    via_ds, _ = build_sketch(ds, proto, "tokens")
+    rep = build_sketches_direct(
+        fx["paths"],
+        [SketchSpec("cms", proto, "tokens")],
+        rows_per_partition=300,
+    )
+    assert rep["cms"] == via_ds
+    assert rep.rows == fx["num_rows"]

@@ -23,6 +23,7 @@ from parallel_count_min_sketch_ray.state.hll import HyperLogLog
 from parallel_count_min_sketch_ray.state.bloom import BloomFilter
 from parallel_count_min_sketch_ray.state.kll import KLLSketch
 from parallel_count_min_sketch_ray.state.minhash import MinHashSignature
+from parallel_count_min_sketch_ray.state.topk import TopKSketch
 from parallel_count_min_sketch_ray.state.base import sketch_from_bytes
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
     "BloomFilter",
     "KLLSketch",
     "MinHashSignature",
+    "TopKSketch",
     "sketch_from_bytes",
 ]
 

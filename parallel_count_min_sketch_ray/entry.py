@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational (SQL-checked) ---
         "pricing_summary": analytics.pricing_summary,
         "orders_by_segment": analytics.orders_by_segment,
+        "orders_by_region": analytics.orders_by_region,
         # --- embeddings (SQL-checked) ---
         "embedding_norms": ann.embedding_norms,
         "ann_topk": ann.ann_topk,
@@ -73,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_ntok_quantiles": sketch_queries.kll_ntok_quantiles,
         "bloom_doc_membership": sketch_queries.bloom_doc_membership,
         "cms_inner_product_sources": sketch_queries.cms_inner_product_sources,
+        "topk_words": sketch_queries.topk_words,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
         # --- near-dup / text analysis (rows-only) ---
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -147,6 +149,14 @@ def oracle_sql() -> dict[str, str]:
             "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price, "
             "CAST(COUNT(*) AS BIGINT) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_region": (
+            "SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name"
         ),
         "orders_by_segment": (
             "SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "

@@ -310,6 +310,66 @@ def pricing_summary(sf_dir: str):
     ]
 
 
+def orders_by_region(sf_dir: str):
+    """orders ⋈ customer ⋈ nation ⋈ region rollup (all dimension sides
+    broadcast as one composed custkey→region_name map; no shuffle join).
+    """
+    import pyarrow.parquet as pq_
+
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq_.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    c2region = {
+        int(ck): r2name[n2r[int(nk)]]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(c2region)
+
+    class RegionJoin:
+        def __init__(self, r):
+            lk = ray.get(r)
+            self._keys = np.fromiter(lk.keys(), dtype=np.int64, count=len(lk))
+            order = np.argsort(self._keys)
+            self._keys = self._keys[order]
+            self._vals = np.array(list(lk.values()), dtype=object)[order]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self._keys, ck), 0, len(self._keys) - 1)
+            reg = np.where(self._keys[pos] == ck, self._vals[pos], "UNKNOWN")
+            df = pd.DataFrame(
+                {
+                    "r_name": reg,
+                    "n_orders": 1,
+                    "tp_c": _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)),
+                }
+            )
+            g = df.groupby("r_name", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            RegionJoin, fn_constructor_args=(ref,), batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("r_name")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("tp_c", alias_name="tp_c"))
+    ).to_pandas()
+    out["total_price"] = out["tp_c"].astype(np.float64) / 100.0
+    return out[["r_name", "n_orders", "total_price"]]
+
+
 def orders_by_segment(sf_dir: str):
     """orders ⋈ customer (broadcast small side) → per-segment totals.
 

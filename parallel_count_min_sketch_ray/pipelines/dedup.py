@@ -124,14 +124,17 @@ def minhash_lsh_pairs(
     )
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        # one call per band_id (few, large groups); the per-bucket pair
+        # expansion is a vectorized self-merge on band_hash — avoids
+        # thousands of per-tiny-group Python calls
+        m = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return m[["doc_id_a", "doc_id_b"]].rename(
+            columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
+        )
 
     cand = (
-        band_rows.groupby(["band_id", "band_hash"])
+        band_rows.groupby("band_id")
         .map_groups(emit_pairs, batch_format="pandas")
         .to_pandas()
     )

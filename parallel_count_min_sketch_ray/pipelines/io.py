@@ -1,0 +1,106 @@
+"""Resumable partitioned Parquet output.
+
+"Resumable output" for a batch pipeline (ray_guide / north_rule): one
+output directory per partition, written atomically (temp dir →
+rename), plus a manifest of completed partitions — a rerun skips
+finished partitions and never leaves a half-written one visible.
+
+:func:`write_partitioned` drives per-partition Ray tasks over a
+control list (same topology as the checkpointed sketch build); each
+task streams its input slice and writes its own directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _partition_dir(out_dir: str, pid: str) -> str:
+    return os.path.join(out_dir, f"part={pid}")
+
+
+def completed_partitions(out_dir: str) -> set[str]:
+    if not os.path.isdir(out_dir):
+        return set()
+    return {
+        d[len("part=") :]
+        for d in os.listdir(out_dir)
+        if d.startswith("part=") and os.path.exists(
+            os.path.join(out_dir, d, "_SUCCESS")
+        )
+    }
+
+
+def write_partition_atomic(out_dir: str, pid: str, tables) -> dict:
+    """Write one partition's tables to ``part=<pid>/`` atomically.
+
+    ``tables``: iterable of pyarrow Tables (streamed; one file each).
+    Returns a lineage record.
+    """
+    final = _partition_dir(out_dir, pid)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    rows = 0
+    nbytes = 0
+    t0 = time.perf_counter()
+    for i, t in enumerate(tables):
+        f = os.path.join(tmp, f"data-{i:04d}.parquet")
+        pq.write_table(t, f)
+        rows += t.num_rows
+        nbytes += os.path.getsize(f)
+    record = {
+        "partition_id": pid,
+        "rows": rows,
+        "bytes": nbytes,
+        "wall_time": time.perf_counter() - t0,
+    }
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        json.dump(record, f)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return record
+
+
+def write_partitioned(
+    partition_ids: list[str],
+    produce: Callable[[str], "pa.Table"],
+    out_dir: str,
+    *,
+    concurrency: int | None = None,
+) -> dict:
+    """Run ``produce(pid)`` for every pending partition as Ray tasks and
+    write each result atomically; returns {written, skipped, records}.
+
+    ``produce`` must be deterministic per pid (retry-safe: a retried
+    task overwrites its own temp dir and renames last).
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_partitions(out_dir)
+    pending = [p for p in partition_ids if p not in done]
+
+    @ray.remote
+    def _one(pid: str) -> dict:
+        table = produce(pid)
+        return write_partition_atomic(out_dir, pid, [table])
+
+    opts = {}
+    if concurrency:
+        opts["max_concurrency"] = concurrency  # informational; tasks schedule freely
+    records = ray.get([_one.remote(p) for p in pending])
+    return {
+        "written": len(pending),
+        "skipped": len(done & set(partition_ids)),
+        "records": records,
+    }

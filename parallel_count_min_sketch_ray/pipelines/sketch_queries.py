@@ -159,6 +159,27 @@ def cms_inner_product_sources(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def topk_words(sf_dir: str, m: int = 10) -> pd.DataFrame:
+    """Misra–Gries heavy hitters over the tokenized documents: the
+    top-m words with [lower, upper] count bounds (true count always
+    inside; lower one-sided-low — the mirror of CMS's one-sided-high)."""
+    from parallel_count_min_sketch_ray.state.topk import TopKSketch
+
+    ds = tokenized_documents(sf_dir)
+    rep = build_sketches(
+        ds, [SketchSpec("topk", TopKSketch(k=512), "tokens")]
+    )
+    sk = rep["topk"]
+    rows = sk.topk(m)
+    return pd.DataFrame(
+        {
+            "token": np.array([r[0] for r in rows], dtype=np.int64),
+            "count_lower": np.array([r[1] for r in rows], dtype=np.int64),
+            "count_upper": np.array([r[2] for r in rows], dtype=np.int64),
+        }
+    )
+
+
 def checkpointed_lineage(sf_dir: str, ckpt_dir: str | None = None) -> pd.DataFrame:
     """Flagship resumable build over documents; returns per-partition
     lineage (partition_id, rows, items, resumed)."""

@@ -6,6 +6,7 @@ from parallel_count_min_sketch_ray.state.hll import HyperLogLog
 from parallel_count_min_sketch_ray.state.bloom import BloomFilter
 from parallel_count_min_sketch_ray.state.kll import KLLSketch
 from parallel_count_min_sketch_ray.state.minhash import MinHashSignature
+from parallel_count_min_sketch_ray.state.topk import TopKSketch
 
 __all__ = [
     "MergeableSketch",
@@ -15,4 +16,5 @@ __all__ = [
     "BloomFilter",
     "KLLSketch",
     "MinHashSignature",
+    "TopKSketch",
 ]

@@ -205,3 +205,64 @@ def test_hash64_strings_stable_and_distinct():
     assert h1[0] == h1[2]
     assert h1[0] != h1[1]
     assert len(set(hash64_strings([f"tok{i}" for i in range(10_000)]).tolist())) == 10_000
+
+
+# ---- TopK (Misra-Gries) --------------------------------------------------
+
+
+def test_topk_bounds_vs_exact():
+    from parallel_count_min_sketch_ray.state.topk import TopKSketch
+    import collections
+
+    rng = np.random.default_rng(8)
+    items = rng.zipf(1.3, size=200_000)
+    items = items[items < 100_000].astype(np.int64)
+    sk = TopKSketch(k=256)
+    for chunk in np.array_split(items, 23):
+        sk.update(chunk)
+    truth = collections.Counter(items.tolist())
+    assert sk.n == items.size
+    assert sk.error_bound() <= items.size // 256 + 1
+    for key, lo, hi in sk.topk(20):
+        assert lo <= truth[key] <= hi, key
+    # the true top-10 must all be tracked (their counts >> N/k)
+    top_true = [k for k, _ in truth.most_common(10)]
+    tracked = {k for k, _, _ in sk.topk()}
+    assert set(top_true) <= tracked
+
+
+def test_topk_merge_preserves_bounds():
+    from parallel_count_min_sketch_ray.state.topk import TopKSketch
+    import collections
+
+    rng = np.random.default_rng(9)
+    parts = [rng.zipf(1.5, size=50_000).astype(np.int64) for _ in range(4)]
+    sks = []
+    for p in parts:
+        s = TopKSketch(k=128)
+        s.update(p)
+        sks.append(s)
+    merged = sks[0]
+    for s in sks[1:]:
+        merged.merge(s)
+    allitems = np.concatenate(parts)
+    truth = collections.Counter(allitems.tolist())
+    assert merged.n == allitems.size
+    assert merged.error_bound() <= allitems.size // 128 + 4
+    for key, lo, hi in merged.topk(10):
+        assert lo <= truth[key] <= hi
+    with pytest.raises(ValueError):
+        merged.merge(TopKSketch(k=64))
+
+
+def test_topk_serde_and_weighted():
+    from parallel_count_min_sketch_ray.state.topk import TopKSketch
+
+    sk = TopKSketch(k=8)
+    sk.update(np.array([1, 2, 3]), counts=np.array([100, 50, 1]))
+    assert sk.n == 151
+    lo, hi = sk.estimate(1)
+    assert lo <= 100 <= hi
+    back = TopKSketch.from_bytes(sk.to_bytes())
+    assert back.topk() == sk.topk()
+    assert back.n == sk.n

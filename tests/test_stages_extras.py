@@ -120,3 +120,28 @@ def test_reference_text_format_roundtrip(ray_session, tmp_path):
     truth = dict(zip(vals.tolist(), counts.tolist()))
     for v in (123, 456):
         assert sk.query_one(v) >= truth.get(v, 0)
+
+
+def test_write_partitioned_resumable(ray_session, tmp_path):
+    from parallel_count_min_sketch_ray.pipelines.io import (
+        completed_partitions,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "out")
+
+    def produce(pid: str) -> pa.Table:
+        n = int(pid) + 1
+        return pa.table({"pid": [pid] * n, "x": list(range(n))})
+
+    pids = [str(i) for i in range(6)]
+    r1 = write_partitioned(pids[:3], produce, out)
+    assert r1["written"] == 3 and r1["skipped"] == 0
+    assert completed_partitions(out) == {"0", "1", "2"}
+    # resume: only the remaining partitions are produced
+    r2 = write_partitioned(pids, produce, out)
+    assert r2["written"] == 3 and r2["skipped"] == 3
+    import ray.data
+
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == sum(range(1, 7))

@@ -52,9 +52,14 @@ class SketchReport:
     items: dict[str, int]
     wall_time: float
     num_partials: int
+    ray_stats: str = ""  # ds.stats() per-stage breakdown (wall/cpu/mem)
 
     def __getitem__(self, name: str):
         return self.sketches[name]
+
+    def tokens_per_sec(self, name: str | None = None) -> float:
+        key = name or next(iter(self.items))
+        return self.items[key] / self.wall_time if self.wall_time else 0.0
 
 
 class MultiPartialBatcher:
@@ -154,6 +159,10 @@ def build_sketches(
             combine, batch_format="pyarrow", batch_size=combine_fanin
         )
     rows = partials.take_all()
+    try:
+        stats = partials.stats()  # per-stage wall/cpu/memory breakdown
+    except Exception:
+        stats = ""
 
     merged = {s.name: s.proto.empty_like() for s in specs}
     total_rows = 0
@@ -169,6 +178,7 @@ def build_sketches(
         items={s.name: int(n) for s, n in zip(specs, items)},
         wall_time=time.perf_counter() - t0,
         num_partials=len(rows),
+        ray_stats=stats,
     )
 
 

@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- events: windows / sessions / topk (SQL-checked) ---
         "events_hourly": analytics.events_hourly,
         "events_sessions": analytics.events_sessions,
+        "events_lag": analytics.events_lag,
+        "events_sliding": analytics.events_sliding,
+        "distinct_users": analytics.distinct_users,
         "top_users_by_value": analytics.top_users_by_value,
         # --- relational (SQL-checked) ---
         "pricing_summary": analytics.pricing_summary,
@@ -75,9 +78,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_doc_membership": sketch_queries.bloom_doc_membership,
         "cms_inner_product_sources": sketch_queries.cms_inner_product_sources,
         "topk_words": sketch_queries.topk_words,
+        "cms_accuracy_report": sketch_queries.cms_accuracy_report,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
         # --- near-dup / text analysis (rows-only) ---
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "lang_quality": textpipe.lang_quality,
@@ -134,6 +139,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT user_id, date_diff('microsecond', "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us "
             "FROM events) t GROUP BY user_id"
+        ),
+        "events_sliding": (
+            "SELECT event_type, w AS window_id, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum "
+            "FROM (SELECT event_type, value, "
+            "unnest(generate_series(CAST(epoch_us(ts) // 900000000 AS BIGINT) - 3, "
+            "CAST(epoch_us(ts) // 900000000 AS BIGINT))) AS w FROM events) t "
+            "GROUP BY event_type, w"
+        ),
+        "distinct_users": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users FROM events"
+        ),
+        "events_lag": (
+            "SELECT event_id, user_id, value, "
+            "COALESCE(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0) AS prev_value "
+            "FROM events"
         ),
         "top_users_by_value": (
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "

@@ -232,6 +232,92 @@ def events_sessions(sf_dir: str, gap_us: int = 1_800_000_000):
     )
 
 
+def events_sliding(sf_dir: str, window_hops: int = 4, hop_us: int = 900_000_000):
+    """Sliding-window aggregate: 1-hour windows hopping every 15 min
+    (window = ``window_hops`` hops).  Each event explodes into the
+    ``window_hops`` windows containing it (vectorized np.repeat), then a
+    keyed pre-aggregated groupby — the standard batch restatement of a
+    sliding window (Ray Data has no event-time windowing; SURVEY §2.4).
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hop = ts_us // hop_us
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        et = batch["event_type"].to_pandas().to_numpy()
+        n = len(hop)
+        k = np.arange(window_hops, dtype=np.int64)
+        window_id = (hop[:, None] - k[None, :]).ravel()
+        df = pd.DataFrame(
+            {
+                "event_type": np.repeat(et, window_hops),
+                "window_id": window_id,
+                "cnt": 1,
+                "vc": np.repeat(cents, window_hops),
+            }
+        )
+        g = df.groupby(["event_type", "window_id"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("vc", alias_name="vc"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        vsum = batch["vc"].to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+        return pa.Table.from_arrays(
+            [batch["event_type"], batch["window_id"], batch["cnt"], pa.array(vsum)],
+            names=["event_type", "window_id", "cnt", "value_sum"],
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def distinct_users(sf_dir: str):
+    """Exact distinct count via per-batch unique pre-aggregation: the
+    shuffle carries per-block distinct values, not rows."""
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": u})
+
+    ds = read(sf_dir, "events", ["user_id"]).map_batches(uniq, batch_format="pyarrow")
+    n = ds.unique("user_id")
+    return pd.DataFrame({"distinct_users": [np.int64(len(n))]})
+
+
+def events_lag(sf_dir: str):
+    """Per-user ordered window: each event with the previous event's
+    value (lag) for the same user — the sorted-partition pattern every
+    as-of / window operator reduces to.  Partitioning assumption: one
+    user's events co-locate via groupby(user_id); ordering by (ts,
+    event_id) inside the group makes the result exact and deterministic.
+    """
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        prev = g["value"].shift(1)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "value": g["value"].to_numpy(),
+                "prev_value": prev.fillna(-1.0).to_numpy(),
+            }
+        )
+
+    return (
+        read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
 def top_users_by_value(sf_dir: str, k: int = 20):
     """Top-k users by exact total value (cents), tie-broken by user_id."""
     from ray.data.aggregate import Count, Sum

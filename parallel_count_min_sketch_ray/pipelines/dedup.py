@@ -251,6 +251,57 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def ngram_jaccard_pairs(
+    sf_dir: str, k: int = 3, threshold: float = 0.2
+) -> pd.DataFrame:
+    """Distributed exact all-pairs k-shingle Jaccard >= threshold.
+
+    The full corpus's per-doc shingle-hash sets are broadcast once
+    (small relative to text); each batch scores its docs against docs
+    with larger ids.  O(n^2) by design — the exact oracle tier; LSH
+    (:func:`minhash_lsh_pairs`) is the scale path.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    sh = shingle_hashes(t["text"].to_pylist(), k)
+    ref = ray.put((ids, sh))
+
+    class PairScorer:
+        def __init__(self, r, thr):
+            self._ids, self._sh = ray.get(r)
+            self._pos = {int(d): i for i, d in enumerate(self._ids)}
+            self._thr = thr
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for d in batch["doc_id"].to_numpy(zero_copy_only=False):
+                i = self._pos[int(d)]
+                a = self._sh[i]
+                for j_idx in range(len(self._ids)):
+                    if int(self._ids[j_idx]) <= int(d):
+                        continue
+                    jac = exact_jaccard(a, self._sh[j_idx])
+                    if jac >= self._thr:
+                        out_a.append(int(d))
+                        out_b.append(int(self._ids[j_idx]))
+                        out_j.append(jac)
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, pa.int64()),
+                    "doc_b": pa.array(out_b, pa.int64()),
+                    "jaccard": pa.array(out_j, pa.float64()),
+                }
+            )
+
+    out = read(sf_dir, "documents", ["doc_id"]).map_batches(
+        PairScorer, fn_constructor_args=(ref, threshold), batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=64,
+    ).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def ngram_jaccard_pairs_exact(
     texts: list[str], doc_ids: np.ndarray, k: int = 3, threshold: float = 0.5
 ) -> pd.DataFrame:

@@ -159,6 +159,25 @@ def cms_inner_product_sources(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def cms_accuracy_report(sf_dir: str) -> pd.DataFrame:
+    """Full accuracy sweep vs the exact token-count oracle — the
+    ``test_cms_accuracy`` report (count_min_sketch.c:205-242) run
+    distributed: Ray builds both the sketch AND the exact oracle
+    (token_counts), then validates every unique token."""
+    from parallel_count_min_sketch_ray.pipelines.analytics import token_counts
+    from parallel_count_min_sketch_ray.state.validate import validate_cms
+
+    rep = build_all(sf_dir)
+    cms = rep["cms"]
+    oracle = token_counts(sf_dir).to_pandas()
+    ids = np.array(
+        [djb2(w) & 0x7FFFFFFF for w in oracle["token"]], dtype=np.int64
+    )
+    report = validate_cms(cms, ids, oracle["cnt"].to_numpy(), strict=True)
+    d = report.as_dict()
+    return pd.DataFrame({"metric": list(d.keys()), "value": [float(v) for v in d.values()]})
+
+
 def topk_words(sf_dir: str, m: int = 10) -> pd.DataFrame:
     """Misra–Gries heavy hitters over the tokenized documents: the
     top-m words with [lower, upper] count bounds (true count always

@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": analytics.lang_source_counts,
         "dedup_exact": analytics.dedup_exact,
         "token_count_regex": textpipe.token_count_regex,
+        "source_token_totals": analytics.source_token_totals,
         # --- events: windows / sessions / topk (SQL-checked) ---
         "events_hourly": analytics.events_hourly,
         "events_sessions": analytics.events_sessions,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_inner_product_sources": sketch_queries.cms_inner_product_sources,
         "topk_words": sketch_queries.topk_words,
         "cms_accuracy_report": sketch_queries.cms_accuracy_report,
+        "source_distinct_tokens": sketch_queries.source_distinct_tokens,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
         # --- near-dup / text analysis (rows-only) ---
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -117,6 +119,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_source_counts": (
             "SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source"
+        ),
+        "source_token_totals": (
+            "SELECT source, "
+            "CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY source"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc_id, "

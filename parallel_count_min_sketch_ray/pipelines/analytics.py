@@ -129,6 +129,27 @@ def lang_source_counts(sf_dir: str):
     )
 
 
+def source_token_totals(sf_dir: str):
+    """Exact token count per source (pre-aggregated per batch)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = textops.word_count(batch["text"])
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pandas(), "n_tokens": n, "n_docs": 1}
+        )
+        g = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        read(sf_dir, "documents", ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"), Sum("n_docs", alias_name="n_docs"))
+    )
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup by content digest: one representative (min doc_id)
     per distinct text + duplicate count.

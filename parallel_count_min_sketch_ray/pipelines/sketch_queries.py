@@ -159,6 +159,28 @@ def cms_inner_product_sources(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def source_distinct_tokens(sf_dir: str) -> pd.DataFrame:
+    """Per-source HLL distinct-token estimates via grouped sketch
+    aggregation (ds.groupby('source').aggregate(sketch UDAF))."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        build_sketches_by_key,
+    )
+
+    ds = tokenized_documents(sf_dir)
+    grouped = build_sketches_by_key(
+        ds, "source", [SketchSpec("hll", HyperLogLog(p=12, seed=SEED), "tokens")]
+    )
+    rows = sorted(
+        (src, float(d["hll"].estimate())) for src, d in grouped.items()
+    )
+    return pd.DataFrame(
+        {
+            "source": [r[0] for r in rows],
+            "distinct_estimate": [r[1] for r in rows],
+        }
+    )
+
+
 def cms_accuracy_report(sf_dir: str) -> pd.DataFrame:
     """Full accuracy sweep vs the exact token-count oracle — the
     ``test_cms_accuracy`` report (count_min_sketch.c:205-242) run

@@ -1,0 +1,90 @@
+"""Hypothesis property tests: the sketch-algebra invariants hold for
+arbitrary streams and partitionings, not just the seeded fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from parallel_count_min_sketch_ray.state.cms import CountMinSketch
+from parallel_count_min_sketch_ray.state.hll import HyperLogLog
+from parallel_count_min_sketch_ray.state.topk import TopKSketch
+from parallel_count_min_sketch_ray.state.base import sketch_from_bytes
+
+items_strategy = st.lists(st.integers(min_value=0, max_value=1 << 31), max_size=300)
+
+
+@settings(max_examples=50, deadline=None)
+@given(items=items_strategy, cut=st.integers(min_value=0, max_value=300))
+def test_cms_split_merge_equals_whole(items, cut):
+    """sketch(A) ⊕ sketch(B) == sketch(A++B) for ANY split point."""
+    cut = min(cut, len(items))
+    arr = np.array(items, dtype=np.int64)
+    proto = CountMinSketch(eps=0.01, delta=0.2, seed=7)
+    whole = proto.empty_like()
+    whole.update(arr)
+    a, b = proto.empty_like(), proto.empty_like()
+    a.update(arr[:cut])
+    b.update(arr[cut:])
+    assert a.merge(b) == whole
+
+
+@settings(max_examples=50, deadline=None)
+@given(items=items_strategy)
+def test_cms_one_sided_for_any_stream(items):
+    arr = np.array(items, dtype=np.int64)
+    cms = CountMinSketch(eps=0.01, delta=0.2, seed=11)
+    cms.update(arr)
+    if arr.size:
+        vals, counts = np.unique(arr, return_counts=True)
+        assert (cms.query(vals).astype(np.int64) >= counts).all()
+    assert cms.total == arr.size
+
+
+@settings(max_examples=30, deadline=None)
+@given(items=items_strategy)
+def test_cms_serde_identity(items):
+    cms = CountMinSketch(eps=0.05, delta=0.3, seed=3)
+    cms.update(np.array(items, dtype=np.int64))
+    assert sketch_from_bytes(cms.to_bytes()) == cms
+
+
+@settings(max_examples=30, deadline=None)
+@given(items=items_strategy, cut=st.integers(min_value=0, max_value=300))
+def test_hll_merge_union_bit_identical(items, cut):
+    cut = min(cut, len(items))
+    arr = np.array(items, dtype=np.int64)
+    proto = HyperLogLog(p=8, seed=5)
+    whole = proto.empty_like()
+    whole.update(arr)
+    a, b = proto.empty_like(), proto.empty_like()
+    a.update(arr[:cut])
+    b.update(arr[cut:])
+    a.merge(b)
+    assert np.array_equal(a.registers, whole.registers)
+
+
+@settings(max_examples=30, deadline=None)
+@given(items=st.lists(st.integers(min_value=0, max_value=50), max_size=300),
+       cut=st.integers(min_value=0, max_value=300))
+def test_topk_bounds_survive_any_split(items, cut):
+    """After any split+merge, every tracked estimate brackets the truth
+    and the offset respects N/k."""
+    import collections
+
+    cut = min(cut, len(items))
+    arr = np.array(items, dtype=np.int64)
+    proto = TopKSketch(k=16)
+    a, b = proto.empty_like(), proto.empty_like()
+    a.update(arr[:cut])
+    b.update(arr[cut:])
+    a.merge(b)
+    truth = collections.Counter(arr.tolist())
+    assert a.n == arr.size
+    for key, lo, hi in a.topk():
+        assert lo <= truth[key] <= hi
+    # untracked keys: true count <= offset (else MG would have kept them)
+    tracked = {k for k, _, _ in a.topk()}
+    for key, cnt in truth.items():
+        if key not in tracked:
+            assert cnt <= a.offset + (arr.size // 16)

@@ -87,4 +87,4 @@ def test_topk_bounds_survive_any_split(items, cut):
     tracked = {k for k, _, _ in a.topk()}
     for key, cnt in truth.items():
         if key not in tracked:
-            assert cnt <= a.offset + (arr.size // 16)
+            assert cnt <= a.offset

@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": analytics.pricing_summary,
         "orders_by_segment": analytics.orders_by_segment,
         "orders_by_region": analytics.orders_by_region,
+        "order_lineitem_join": analytics.order_lineitem_join,
+        "events_value_stats": analytics.events_value_stats,
         # --- embeddings (SQL-checked) ---
         "embedding_norms": ann.embedding_norms,
         "ann_topk": ann.ann_topk,
@@ -192,6 +194,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment"
+        ),
+        "order_lineitem_join": (
+            "SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderstatus"
+        ),
+        "events_value_stats": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_min, "
+            "CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_max, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS value_mean "
+            "FROM events GROUP BY event_type"
         ),
         "embedding_norms": (
             "SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding, "

@@ -417,6 +417,78 @@ def pricing_summary(sf_dir: str):
     ]
 
 
+def order_lineitem_join(sf_dir: str, num_partitions: int = 16):
+    """Large-side hash join: lineitem ⋈ orders on orderkey (both sides
+    too big to broadcast at scale) via native ``Dataset.join`` — a
+    hash-partitioned shuffle on the key — then per-orderstatus revenue.
+
+    Revenue uses the integer-cent product (price_cents × (100 −
+    discount_cents)) so the DuckDB oracle matches bit-for-bit.
+    """
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame(
+            {
+                "o_orderstatus": batch["o_orderstatus"].to_pandas(),
+                "n_items": 1,
+                "rev": ext_c * (100 - disc_c),
+            }
+        )
+        g = df.groupby("o_orderstatus", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n_items", alias_name="n_items"), Sum("rev", alias_name="rev"))
+    ).to_pandas()
+    out["revenue"] = out["rev"].astype(np.float64) / 10000.0
+    return out[["o_orderstatus", "n_items", "revenue"]]
+
+
+def events_value_stats(sf_dir: str):
+    """Per-event-type exact value stats (min/max/mean via integer cents)
+    using Ray's built-in aggregate functions."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "vc": _cents(batch["value"].to_numpy(zero_copy_only=False)),
+            }
+        )
+
+    out = (
+        read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="cnt"),
+            Min("vc", alias_name="min_c"),
+            Max("vc", alias_name="max_c"),
+            Sum("vc", alias_name="sum_c"),
+        )
+    ).to_pandas()
+    out["value_min"] = out["min_c"].astype(np.float64) / 100.0
+    out["value_max"] = out["max_c"].astype(np.float64) / 100.0
+    out["value_mean"] = out["sum_c"].astype(np.float64) / 100.0 / out["cnt"]
+    return out[["event_type", "cnt", "value_min", "value_max", "value_mean"]]
+
+
 def orders_by_region(sf_dir: str):
     """orders ⋈ customer ⋈ nation ⋈ region rollup (all dimension sides
     broadcast as one composed custkey→region_name map; no shuffle join).

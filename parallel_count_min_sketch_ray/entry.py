@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,
         "lang_quality": textpipe.lang_quality,
         "doc_fingerprints": textpipe.doc_fingerprints,
     }

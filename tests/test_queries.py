@@ -202,3 +202,17 @@ def test_ann_lsh_recall(ray_session):
     # self-neighbour sanity: each query's rank-1 neighbour is itself
     r1 = exact[exact["rank"] == 1]
     assert (r1["query_id"].to_numpy() == r1["vec_id"].to_numpy()).all()
+
+
+def test_ann_ivf_recall(ray_session):
+    from parallel_count_min_sketch_ray.pipelines.ann import ann_ivf_topk, ann_topk
+
+    exact = ann_topk(SF_UNIT, k=10, num_queries=5)
+    ivf = ann_ivf_topk(SF_UNIT, k=10, num_queries=5, num_centroids=8, nprobe=4)
+    ex = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    hits = sum((r.query_id, r.vec_id) in ex for r in ivf.itertuples())
+    # nprobe=4 of 8 centroids should recover most true neighbors
+    assert hits >= len(ex) * 0.5
+    # each query's own vector (sim 1.0) must always be found
+    r1 = ivf[ivf["rank"] == 1]
+    assert (r1["query_id"].to_numpy() == r1["vec_id"].to_numpy()).all()

@@ -95,10 +95,22 @@ def write_partitioned(
         table = produce(pid)
         return write_partition_atomic(out_dir, pid, [table])
 
-    opts = {}
     if concurrency:
-        opts["max_concurrency"] = concurrency  # informational; tasks schedule freely
-    records = ray.get([_one.remote(p) for p in pending])
+        # sliding-window submission: at most `concurrency` in flight
+        records, in_flight = [], {}
+        for p in pending[:concurrency]:
+            in_flight[_one.remote(p)] = p
+        rest = iter(pending[concurrency:])
+        while in_flight:
+            ready, _ = ray.wait(list(in_flight), num_returns=1)
+            ref = ready[0]
+            in_flight.pop(ref)
+            records.append(ray.get(ref))
+            nxt = next(rest, None)
+            if nxt is not None:
+                in_flight[_one.remote(nxt)] = nxt
+    else:
+        records = ray.get([_one.remote(p) for p in pending])
     return {
         "written": len(pending),
         "skipped": len(done & set(partition_ids)),

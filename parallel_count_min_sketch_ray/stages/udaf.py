@@ -10,20 +10,18 @@ Two spellings of the reference's build→reduce lifecycle
    partials, exactly the mpiV2 topology.  Finalized value = SKB1 bytes
    (Arrow-storable for grouped results).
 
-2. :class:`PartialSketchBatcher` — an explicit ``map_batches`` stage
-   emitting one partial-sketch row per block
-   ``{sketch: binary, rows, items}`` plus :func:`combine_partials`, a
-   map_batches combiner folding ``batch_size`` partials into one.
-   Stacking combiners gives an explicit merge tree whose fan-in is
-   controlled (SURVEY.md §4 "merge topology"); every stage is a pure
-   task output, so Ray's retries cannot double-count a block.
+2. :func:`combine_partials` / :func:`merge_partial_rows` — the
+   single-sketch merge-tree pieces over the ``{sketch, rows, items}``
+   row schema (PARTIAL_SCHEMA), used where a hand-rolled partial stage
+   is wanted (e.g. fault-injection tests).  The production multi-sketch
+   stage is ``pipelines.sketch_build.MultiPartialBatcher`` +
+   ``_combine_level`` — one implementation, not two.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
-import numpy as np
 import pyarrow as pa
 from ray.data.aggregate import AggregateFn
 
@@ -67,33 +65,6 @@ def sketch_aggregate(
         finalize=lambda blob: blob,
         name=agg_name,
     )
-
-
-class PartialSketchBatcher:
-    """``map_batches`` callable: one serialized partial sketch per batch.
-
-    Used as an actor-pool stage (``concurrency=N``) so the hash-family /
-    permutation setup in ``__init__`` runs once per actor, not per
-    batch — the thread-private-sketch design the reference found fastest
-    (README.md:19-26, hybridV1 vs the atomic hybridV2).
-    """
-
-    def __init__(self, proto, column: str, kind: str = "auto"):
-        self._proto = proto.empty_like()
-        self._extract = make_extractor(column, kind)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sk = self._proto.empty_like()
-        vals = self._extract(batch)
-        sk.update(vals)
-        return pa.Table.from_arrays(
-            [
-                pa.array([sk.to_bytes()], pa.binary()),
-                pa.array([batch.num_rows], pa.int64()),
-                pa.array([int(np.asarray(vals).size)], pa.int64()),
-            ],
-            schema=PARTIAL_SCHEMA,
-        )
 
 
 def combine_partials(batch: pa.Table) -> pa.Table:

@@ -47,11 +47,20 @@ def _safe_id(s: str) -> str:
 
 def plan_partitions(paths: list[str], rows_per_partition: int = 500_000) -> list[dict]:
     """Deterministic partition specs: (file, row-group range) chunks of
-    ~rows_per_partition rows, never splitting a row group."""
+    ~rows_per_partition rows, never splitting a row group.
+
+    Partition ids embed a hash of the FULL path (not just the basename)
+    so same-named files in different directories cannot collide — a
+    collision would make a checkpointed build silently double-count one
+    file and skip the other.
+    """
+    import hashlib
+
     specs: list[dict] = []
     for path in sorted(paths):
         md = pq.ParquetFile(path).metadata
-        base = _safe_id(os.path.basename(path))
+        tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]
+        base = f"{_safe_id(os.path.basename(path))}-{tag}"
         rg, nrg = 0, md.num_row_groups
         while rg < nrg:
             rows = 0

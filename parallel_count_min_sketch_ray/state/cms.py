@@ -82,11 +82,15 @@ class CountMinSketch:
     # ---- update ----------------------------------------------------------
 
     def _indices(self, items: np.ndarray) -> np.ndarray:
-        """(depth, n) column indices for a batch of items, uint64 math."""
-        x = np.asarray(items).astype(np.uint64, copy=False)
-        return (
-            (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(self.prime)
-        ) % np.uint64(self.width)
+        """(depth, n) column indices for a batch of items, uint64 math.
+
+        Delegates to the single definition of the hash family — any
+        change there (e.g. to the documented uint64-wrap divergence)
+        applies everywhere or merge compatibility breaks silently.
+        """
+        from parallel_count_min_sketch_ray.functions.hashing import universal_hash
+
+        return universal_hash(items, self.a, self.b, self.prime, self.width)
 
     # Hash+bincount over a ~2 MB working set stays in cache; measured
     # 28.5M tokens/s/core at 256Ki vs 1.0M at 5M-item chunks.

@@ -145,3 +145,39 @@ def test_write_partitioned_resumable(ray_session, tmp_path):
 
     back = ray.data.read_parquet(out).to_pandas()
     assert len(back) == sum(range(1, 7))
+
+
+def test_token_bounded_slices_respect_budget(tokens_fixture):
+    """Each slice stays within target_tokens (+ at most its last row)."""
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        token_bounded_slices,
+    )
+
+    batch = pq.read_table(tokens_fixture["paths"][0])
+    target = 5000
+    total = 0
+    for sl in token_bounded_slices(batch, target_tokens=target):
+        ntok = int(pa.compute.sum(pa.compute.list_value_length(sl["tokens"])).as_py())
+        last_row = int(pa.compute.list_value_length(sl["tokens"])[-1].as_py())
+        assert ntok <= target + last_row
+        assert sl.num_rows >= 1
+        total += ntok
+    whole = int(pa.compute.sum(pa.compute.list_value_length(batch["tokens"])).as_py())
+    assert total == whole
+
+
+def test_plan_partitions_distinct_for_same_basename(tmp_path):
+    """Same-named files in different dirs must not collide (checkpoint
+    ids are content-addressed by full path)."""
+    from parallel_count_min_sketch_ray.state.checkpoint import plan_partitions
+    from parallel_count_min_sketch_ray.sources.fixture import build_tokens_table
+
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(build_tokens_table(50, seed=1), str(d / "data.parquet"))
+    parts = plan_partitions(
+        [str(tmp_path / "a" / "data.parquet"), str(tmp_path / "b" / "data.parquet")]
+    )
+    assert len(parts) == 2
+    assert len({p["partition_id"] for p in parts}) == 2

@@ -22,6 +22,12 @@ from parallel_count_min_sketch_ray.pipelines import (
 )
 
 
+def _media_decode_stats(sf_dir: str):
+    from parallel_count_min_sketch_ray.pipelines.multimodal import media_decode_stats
+
+    return media_decode_stats(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: single-pass CMS+HLL+KLL+Bloom over tokenized documents
     at sf0.001; returns a summary DataFrame (stable schema)."""
@@ -91,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "lang_quality": textpipe.lang_quality,
+        "media_decode_stats": _media_decode_stats,
         "doc_fingerprints": textpipe.doc_fingerprints,
     }
 

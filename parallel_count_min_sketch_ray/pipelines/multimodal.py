@@ -139,6 +139,33 @@ class FrameSampleStage:
         )
 
 
+def media_decode_stats(sf_dir: str, num_rows: int = 256) -> "object":
+    """Driver query: decode + feature-extract over a deterministic
+    synthetic media corpus (the testdata has no media table; payloads
+    derive from a fixed seed so results are reproducible; rows-only
+    check — the fake decoder is not SQL-expressible).
+
+    Returns per-mime aggregate stats of the decode stage's outputs.
+    """
+    import pandas as pd
+
+    import ray.data
+
+    media = ray.data.from_arrow(synthesize_media_table(num_rows, seed=42))
+    decoded = decode_pipeline(media, batch_size=32, concurrency=2).to_pandas()
+    mimes = synthesize_media_table(num_rows, seed=42)["mime"].to_pandas()
+    decoded = decoded.sort_values("media_id").reset_index(drop=True)
+    decoded["mime"] = mimes.to_numpy()
+    g = decoded.groupby("mime", as_index=False).agg(
+        n=("media_id", "size"),
+        pixel_mean_avg=("pixel_mean", "mean"),
+        pixel_std_avg=("pixel_std", "mean"),
+    )
+    g["pixel_mean_avg"] = g["pixel_mean_avg"].round(6)
+    g["pixel_std_avg"] = g["pixel_std_avg"].round(6)
+    return g
+
+
 def decode_pipeline(ds, *, batch_size: int = 64, concurrency=(1, 4), strict: bool = False):
     """media table -> per-image stats + embeddings (actor pool, small
     batches for large binary rows)."""

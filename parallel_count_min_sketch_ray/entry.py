@@ -123,8 +123,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok, "
             "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars, "
-            "CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
-            "len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_word_len "
+            "COALESCE(CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
+            "NULLIF(len(list_filter(string_split(text, ' '), x -> x <> '')), 0), 0.0) "
+            "AS avg_word_len "
             "FROM documents"
         ),
         "lang_source_counts": (

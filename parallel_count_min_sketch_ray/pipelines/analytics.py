@@ -37,8 +37,15 @@ def read(sf_dir: str, table: str, columns: list[str] | None = None):
 
 def _cents(arr: np.ndarray) -> np.ndarray:
     """double currency -> exact integer cents (matches SQL
-    CAST(ROUND(x*100) AS BIGINT); ties cannot occur for 2-decimal data)."""
-    return np.round(np.asarray(arr, dtype=np.float64) * 100.0).astype(np.int64)
+    CAST(ROUND(x*100) AS BIGINT); ties cannot occur for 2-decimal data).
+
+    NaN/inf/NULL inputs would silently cast to INT64_MIN garbage —
+    fail fast instead (a currency column with NULLs needs an explicit
+    COALESCE policy upstream, mirroring the oracle SQL)."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.size and not np.isfinite(a).all():
+        raise ValueError("non-finite/NULL value in currency column")
+    return np.round(a * 100.0).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -73,12 +80,20 @@ def token_counts(sf_dir: str):
 
 
 def token_totals(sf_dir: str):
-    """Single row: total token count + distinct token count (exact)."""
-    counts = token_counts(sf_dir).to_pandas()
+    """Single row: total token count + distinct token count (exact).
+
+    Distributed ``Sum + Count`` over :func:`token_counts` — the driver
+    receives two scalars; the vocabulary is never materialized on it.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    agg = token_counts(sf_dir).aggregate(
+        Sum("cnt", alias_name="total_tokens"), Count(alias_name="distinct_tokens")
+    )
     return pd.DataFrame(
         {
-            "total_tokens": [int(counts["cnt"].sum())],
-            "distinct_tokens": [int(len(counts))],
+            "total_tokens": [int(agg["total_tokens"])],
+            "distinct_tokens": [int(agg["distinct_tokens"])],
         }
     )
 

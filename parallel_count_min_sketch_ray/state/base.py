@@ -118,3 +118,22 @@ def check_compatible(a, b, fields: tuple[str, ...]) -> None:
             raise ValueError(
                 f"incompatible sketches: field {f!r} differs ({va!r} != {vb!r})"
             )
+
+
+def check_counts(counts) -> np.ndarray:
+    """Validate per-item ``counts`` for weighted sketch updates.
+
+    Sketch counters are nonnegative integers; a float or negative count
+    would silently truncate / wrap (breaking e.g. CMS's one-sided
+    ``est >= true`` guarantee).  Accepts any integer dtype; rejects
+    float dtypes and negatives with ValueError.  Returns int64.
+    """
+    counts = np.asarray(counts)
+    if counts.dtype.kind not in "iu":
+        raise ValueError(
+            f"counts must be an integer array, got dtype {counts.dtype}"
+        )
+    counts = counts.astype(np.int64, copy=False).ravel()
+    if counts.size and int(counts.min()) < 0:
+        raise ValueError("counts must be nonnegative")
+    return counts

@@ -35,6 +35,7 @@ import time
 from dataclasses import dataclass
 from typing import Any
 
+import numpy as np
 import pyarrow.parquet as pq
 
 from parallel_count_min_sketch_ray.functions.extract import make_extractor
@@ -43,6 +44,46 @@ from parallel_count_min_sketch_ray.state.base import sketch_from_bytes
 
 def _safe_id(s: str) -> str:
     return re.sub(r"[^A-Za-z0-9._-]", "_", s)
+
+
+def spec_fingerprint(specs, rows_per_partition: int) -> str:
+    """Deterministic digest of everything that defines a checkpointed
+    build: spec names, input columns, extractor kinds, sketch kinds +
+    identity params, and the partition granularity.
+
+    A ckpt_dir holds partials valid ONLY for this exact configuration;
+    reusing it after changing a spec's column/kind (same names, same
+    sketch identity) would otherwise silently fold stale partials for
+    the wrong data into the final merge — merge()'s identity check
+    cannot catch that.  The fingerprint is written to a dir-level
+    manifest and every lineage record; mismatch fails fast.
+    """
+    import hashlib
+
+    def jsonable(v):
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating,)):
+            return float(v)
+        return v
+
+    desc = {
+        "rows_per_partition": int(rows_per_partition),
+        "specs": [
+            {
+                "name": s.name,
+                "column": s.column,
+                "kind": s.kind,
+                "sketch": type(s.proto).KIND,
+                "identity": {
+                    f: jsonable(getattr(s.proto, f)) for f in s.proto._IDENTITY
+                },
+            }
+            for s in specs
+        ],
+    }
+    blob = json.dumps(desc, sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()
 
 
 def plan_partitions(paths: list[str], rows_per_partition: int = 500_000) -> list[dict]:
@@ -117,8 +158,42 @@ class CheckpointStore:
         ltmp = self._lineage(pid) + ".tmp"
         with open(ltmp, "w") as f:
             json.dump(lineage, f)
+            f.flush()
+            os.fsync(f.fileno())  # lineage durable before the ckpt rename
         os.replace(ltmp, self._lineage(pid))
         os.replace(tmp, self._ckpt(pid))  # ckpt last: presence == complete
+        self._fsync_dir()  # both renames durable: presence == complete survives power loss
+
+    def _fsync_dir(self) -> None:
+        fd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    MANIFEST = "_manifest.json"
+
+    def check_or_write_manifest(self, fingerprint: str) -> None:
+        """Bind this ckpt_dir to one build configuration (fail fast on
+        reuse with different specs — see :func:`spec_fingerprint`)."""
+        path = os.path.join(self.root, self.MANIFEST)
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)["spec_fingerprint"]
+            if existing != fingerprint:
+                raise ValueError(
+                    f"checkpoint dir {self.root!r} was built with a different "
+                    f"spec configuration (manifest {existing[:12]}… != current "
+                    f"{fingerprint[:12]}…); use a fresh ckpt_dir or delete it"
+                )
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"spec_fingerprint": fingerprint}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        self._fsync_dir()
 
     def read(self, pid: str) -> dict[str, bytes]:
         with open(self._ckpt(pid), "rb") as f:
@@ -159,11 +234,13 @@ class _BuildPartition:
     partition.
     """
 
-    def __init__(self, specs, ckpt_root: str, read_columns: list[str]):
+    def __init__(self, specs, ckpt_root: str, read_columns: list[str],
+                 fingerprint: str = ""):
         self._specs = specs
         self._store = CheckpointStore(ckpt_root)
         self._columns = read_columns
         self._extractors = [make_extractor(s.column, s.kind) for s in specs]
+        self._fingerprint = fingerprint
 
     def __call__(self, batch) -> dict:
         import pyarrow as pa
@@ -211,6 +288,7 @@ class _BuildPartition:
                 "items": {s.name: n for s, n in zip(self._specs, items)},
                 "wall_time": wall,
                 "sketches": [s.name for s in self._specs],
+                "spec_fingerprint": self._fingerprint,
             }
             self._store.write(
                 pid,
@@ -240,12 +318,16 @@ def build_sketches_checkpointed(
     t0 = time.perf_counter()
     specs = list(specs)
     store = CheckpointStore(ckpt_dir)
+    store.check_or_write_manifest(spec_fingerprint(specs, rows_per_partition))
     parts = plan_partitions(paths, rows_per_partition)
     resumed = sum(1 for p in parts if store.is_done(p["partition_id"]))
     columns = sorted({s.column for s in specs})
 
     control = ray.data.from_items(parts)
-    builder = _BuildPartition(tuple(specs), ckpt_dir, columns)
+    builder = _BuildPartition(
+        tuple(specs), ckpt_dir, columns,
+        spec_fingerprint(specs, rows_per_partition),
+    )
     kwargs = {"batch_size": 1, "batch_format": "numpy"}
     if concurrency is not None:
         kwargs["concurrency"] = concurrency

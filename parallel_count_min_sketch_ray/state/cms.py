@@ -36,6 +36,11 @@ from parallel_count_min_sketch_ray.functions.hashing import MERSENNE_PRIME_31, d
 
 _E = math.e
 
+_check_counts = base.check_counts
+# Above this per-item count the float64 bincount-weights fast path could
+# lose integer exactness (2**18-item chunks × 2**31 < 2**53).
+_SAFE_WEIGHT_MAX = 1 << 31
+
 
 @base.register_sketch
 class CountMinSketch:
@@ -108,6 +113,8 @@ class CountMinSketch:
         items = np.asarray(items)
         if items.size == 0:
             return
+        if counts is not None:
+            counts = _check_counts(counts)
         if items.size > self._CHUNK:
             for i in range(0, items.size, self._CHUNK):
                 self.update(
@@ -122,13 +129,20 @@ class CountMinSketch:
                     np.uint64
                 )
             self.total += int(items.size)
-        else:
-            counts = np.asarray(counts, dtype=np.float64)
+        elif int(counts.max(initial=0)) <= _SAFE_WEIGHT_MAX:
+            # float64 bincount weights are exact here: per-cell sums stay
+            # below 2**53 (chunk <= 2**18 items × counts <= 2**31)
             for r in range(self.depth):
                 self.table[r] += (
-                    np.bincount(idx[r], weights=counts, minlength=self.width)
+                    np.bincount(idx[r], weights=counts.astype(np.float64),
+                                minlength=self.width)
                     .astype(np.uint64)
                 )
+            self.total += int(counts.sum())
+        else:
+            # huge per-item counts: exact integer accumulation path
+            for r in range(self.depth):
+                np.add.at(self.table[r], idx[r], counts.astype(np.uint64))
             self.total += int(counts.sum())
 
     def update_strings(self, items, counts=None) -> None:

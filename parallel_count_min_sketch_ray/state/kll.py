@@ -98,7 +98,12 @@ class KLLSketch:
             self.n += int(items.size)
             self._compact()
             return
-        counts = np.asarray(counts).astype(np.int64).ravel()
+        counts = base.check_counts(counts)
+        pos = counts > 0
+        if not pos.all():  # zero-count items contribute nothing
+            items, counts = items[pos], counts[pos]
+        if counts.size == 0:
+            return
         # decompose counts into powers of two: weight-2^j item -> level j
         maxbit = int(counts.max()).bit_length()
         for j in range(maxbit):

@@ -23,6 +23,18 @@ import numpy as np
 from parallel_count_min_sketch_ray.state import base
 
 
+def _group_sum(inv: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Exact int64 segment sum: bincount's float64 weights are exact
+    below 2**53 per cell; fall back to np.add.at for huge counters."""
+    if weights.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    if int(weights.max()) <= (1 << 31):
+        return np.bincount(inv, weights=weights).astype(np.int64)
+    out = np.zeros(int(inv.max()) + 1, dtype=np.int64)
+    np.add.at(out, inv, weights)
+    return out
+
+
 @base.register_sketch
 class TopKSketch:
     KIND = "topk"
@@ -62,15 +74,15 @@ class TopKSketch:
             uniq, c = np.unique(items, return_counts=True)
             self.n += int(items.size)
         else:
-            counts = np.asarray(counts, dtype=np.int64).ravel()
+            counts = base.check_counts(counts)
             order = np.argsort(items, kind="stable")
             uniq, inv = np.unique(items[order], return_inverse=True)
-            c = np.bincount(inv, weights=counts[order]).astype(np.int64)
+            c = _group_sum(inv, counts[order])
             self.n += int(counts.sum())
         allk = np.concatenate([self.keys, uniq])
         allc = np.concatenate([self.counts, c])
         merged_k, inv = np.unique(allk, return_inverse=True)
-        merged_c = np.bincount(inv, weights=allc).astype(np.int64)
+        merged_c = _group_sum(inv, allc)
         self.keys, self.counts = merged_k, merged_c
         self._truncate()
 
@@ -79,7 +91,7 @@ class TopKSketch:
         allk = np.concatenate([self.keys, other.keys])
         allc = np.concatenate([self.counts, other.counts])
         merged_k, inv = np.unique(allk, return_inverse=True)
-        merged_c = np.bincount(inv, weights=allc).astype(np.int64)
+        merged_c = _group_sum(inv, allc)
         self.keys, self.counts = merged_k, merged_c
         self.offset += other.offset
         self.n += other.n

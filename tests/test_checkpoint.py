@@ -90,3 +90,43 @@ def test_partial_write_is_invisible(tmp_path):
     store.write("px", {"cms": b"blob"}, {"rows": 1, "items": {"cms": 1}, "wall_time": 0})
     assert store.is_done("px")
     assert store.read("px") == {"cms": b"blob"}
+
+
+def test_spec_change_fails_fast_on_reused_ckpt_dir(
+    ray_session, tokens_fixture, specs, tmp_path
+):
+    """Reusing a ckpt_dir with a changed spec (same names, different
+    column/kind) must raise, not silently merge stale partials."""
+    ckpt = str(tmp_path / "ckpt_fp")
+    build_sketches_checkpointed(
+        tokens_fixture["paths"], specs, ckpt, rows_per_partition=300
+    )
+    changed = [
+        SketchSpec("cms", CountMinSketch(seed=42), "n_tok"),  # column changed
+        SketchSpec("hll", HyperLogLog(p=12, seed=42), "tokens"),
+    ]
+    with pytest.raises(ValueError, match="different .*spec"):
+        build_sketches_checkpointed(
+            tokens_fixture["paths"], changed, ckpt, rows_per_partition=300
+        )
+    # identical specs still resume cleanly
+    again = build_sketches_checkpointed(
+        tokens_fixture["paths"], specs, ckpt, rows_per_partition=300
+    )
+    assert again.partitions_resumed == again.partitions_total
+
+
+def test_lineage_records_carry_fingerprint(
+    ray_session, tokens_fixture, specs, tmp_path
+):
+    from parallel_count_min_sketch_ray.state.checkpoint import spec_fingerprint
+
+    ckpt = str(tmp_path / "ckpt_lin")
+    rep = build_sketches_checkpointed(
+        tokens_fixture["paths"], specs, ckpt, rows_per_partition=300
+    )
+    fp = spec_fingerprint(specs, 300)
+    store = CheckpointStore(ckpt)
+    for p in store.completed():
+        assert store.read_lineage(p)["spec_fingerprint"] == fp
+    assert rep.partitions_total == len(store.completed())

@@ -194,3 +194,27 @@ def test_string_adapter():
     assert cms.query_string("beta") >= 2
     assert cms.query_string("gamma") <= cms.error_bound()
     assert cms.query_strings_sum(["alpha", "beta"]) >= 6
+
+
+def test_weighted_update_rejects_bad_counts():
+    """Negative or float counts must raise (ADVICE: a negative count
+    wrapping to uint64 would break the one-sided est >= true bound)."""
+    import pytest
+
+    sk = CountMinSketch(seed=1)
+    items = np.array([1, 2, 3], dtype=np.int64)
+    with pytest.raises(ValueError, match="nonnegative"):
+        sk.update(items, np.array([1, -2, 3]))
+    with pytest.raises(ValueError, match="integer"):
+        sk.update(items, np.array([1.5, 2.0, 3.0]))
+    assert sk.total == 0  # rejected before any accumulation
+
+
+def test_weighted_update_huge_counts_exact():
+    """Counts above the float64-weights fast-path bound take the exact
+    integer path: estimate equals the true sum."""
+    sk = CountMinSketch(seed=1)
+    big = np.int64(1) << 40
+    sk.update(np.array([7, 7], dtype=np.int64), np.array([big, 3], dtype=np.int64))
+    assert sk.query_one(7) >= int(big) + 3
+    assert sk.total == int(big) + 3

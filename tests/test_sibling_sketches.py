@@ -266,3 +266,20 @@ def test_topk_serde_and_weighted():
     back = TopKSketch.from_bytes(sk.to_bytes())
     assert back.topk() == sk.topk()
     assert back.n == sk.n
+
+
+def test_kll_topk_reject_bad_counts():
+    import pytest
+
+    from parallel_count_min_sketch_ray.state.kll import KLLSketch
+    from parallel_count_min_sketch_ray.state.topk import TopKSketch
+
+    for sk in (KLLSketch(seed=1), TopKSketch(k=8)):
+        with pytest.raises(ValueError, match="nonnegative"):
+            sk.update(np.array([1, 2]), np.array([1, -1]))
+        with pytest.raises(ValueError, match="integer"):
+            sk.update(np.array([1, 2]), np.array([1.0, 2.0]))
+
+    kll = KLLSketch(seed=1)
+    kll.update(np.array([5.0, 6.0]), np.array([0, 3]))  # zero-count dropped
+    assert kll.n == 3

@@ -90,9 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_accuracy_report": sketch_queries.cms_accuracy_report,
         "source_distinct_tokens": sketch_queries.source_distinct_tokens,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
-        # --- near-dup / text analysis (rows-only) ---
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # --- near-dup / text analysis ---
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (LSH recall)
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # SQL-checked
         "simhash_pairs": dedup.simhash_pairs,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
@@ -233,6 +233,25 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk FROM s) "
             "SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, ROUND(sim, 4) AS sim "
             "FROM r WHERE rnk <= 10"
+        ),
+        # exact distributed inverted-index Jaccard (pipelines/dedup.py);
+        # the SQL restates shingling + the self-join co-occurrence count
+        "ngram_jaccard_pairs": (
+            "WITH d AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), "
+            "s AS (SELECT doc_id, list_distinct("
+            "CASE WHEN len(ws) = 0 THEN [] "
+            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+            "ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "FOR i IN range(1, len(ws) - 1)] END) AS sh FROM d), "
+            "e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "a.sz AS size_a, b.sz AS size_b, COUNT(*) AS inter "
+            "FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2, 3, 4) "
+            "SELECT doc_a, doc_b, "
+            "CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard "
+            "FROM p WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.2"
         ),
         "embedding_near_dup": (
             "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "

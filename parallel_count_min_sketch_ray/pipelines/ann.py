@@ -193,18 +193,25 @@ def ann_lsh_topk(
     return top[["query_id", "vec_id", "rank", "sim"]].reset_index(drop=True)
 
 
+def _sq_dists(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) squared L2 distances via ||x||² − 2x·c + ||c||² — one
+    matmul, O(n·k) memory (never the (n, k, d) broadcast tensor)."""
+    x2 = np.einsum("ij,ij->i", x, x)
+    c2 = np.einsum("ij,ij->i", cent, cent)
+    return x2[:, None] - 2.0 * (x @ cent.T) + c2[None, :]
+
+
 def kmeans_centroids(
     mat: np.ndarray, k: int, seed: int = 42, iters: int = 8
 ) -> np.ndarray:
     """Deterministic mini k-means (seeded init, fixed iterations) for
-    the IVF coarse quantizer.  Runs driver-side on a sample; at 100 TB
-    the sample is a ``ds.random_sample`` materialized once."""
+    the IVF coarse quantizer.  Runs driver-side on a bounded sample
+    (the caller caps it); O(n·k) memory via :func:`_sq_dists`."""
     rng = np.random.default_rng(seed)
     idx = rng.choice(mat.shape[0], size=min(k, mat.shape[0]), replace=False)
     cent = mat[np.sort(idx)].copy()
     for _ in range(iters):
-        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists(mat, cent).argmin(axis=1)
         for c in range(cent.shape[0]):
             m = assign == c
             if m.any():
@@ -219,20 +226,25 @@ def ann_ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    max_train: int = 65536,
 ) -> pd.DataFrame:
     """IVF-bucketed ANN: vectors are assigned to their nearest k-means
     centroid; a query scores only vectors in its ``nprobe`` closest
     inverted lists.  At scale the centroid id is the partitioning key;
     here the probe-filter runs inside the scan.  Approximate — recall
-    measured in tests against :func:`ann_topk`."""
-    import pyarrow.parquet as pq
+    measured in tests against :func:`ann_topk`.
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    sample = _matrix(t["embedding"])
+    The coarse quantizer trains on a ``max_train``-row sample taken
+    with ``Dataset.limit`` — a bounded streaming prefix, never a
+    full-table driver read (a quantizer needs a representative sample,
+    not the corpus)."""
+    sample_rows = (
+        read(sf_dir, "embeddings", ["embedding"]).limit(max_train).take_all()
+    )
+    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
     cent = kmeans_centroids(sample, num_centroids, seed)
     qids, qmat = load_queries(sf_dir, num_queries)
-    qd = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    qprobes = np.argsort(qd, axis=1)[:, :nprobe]  # (q, nprobe) centroid ids
+    qprobes = np.argsort(_sq_dists(qmat, cent), axis=1)[:, :nprobe]
     qref = ray.put((qids, qmat, cent, qprobes))
 
     class IVFScorer:
@@ -247,8 +259,7 @@ def ann_ivf_topk(
             out_q, out_v, out_s = [], [], []
             if mat.size:
                 ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-                d = ((mat[:, None, :] - self._cent[None, :, :]) ** 2).sum(axis=2)
-                assign = d.argmin(axis=1)
+                assign = _sq_dists(mat, self._cent).argmin(axis=1)
                 norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
                 for j, qid in enumerate(self._qids):
                     m = np.isin(assign, self._qprobes[j])

@@ -5,19 +5,21 @@ first:
 
 - exact dedup: content digest + groupby → ``analytics.dedup_exact``
 - MinHash + LSH banding (this module): shingle → minhash → band rows →
-  ``groupby(band)`` → candidate pairs → exact-Jaccard verify
-- SimHash: 64-bit signatures, banded by 16-bit chunks, Hamming verify
-- n-gram Jaccard: exact all-pairs similarity (the oracle for MinHash;
-  O(n²) — only run on small corpora / within LSH buckets)
+  ``groupby(band)`` → candidate pairs → exact-Jaccard verify over the
+  candidate docs only (broadcast id set, distributed re-shingle)
+- SimHash: 64-bit signatures, banded by 16-bit chunks into a
+  distributed ``groupby(bucket)``, Hamming-verified inside each group
+- n-gram Jaccard: exact all-pairs similarity via a distributed
+  inverted shingle index — co-occurrence counting, never an O(n²)
+  corpus scan
 
-Shuffle discipline: the only all-to-all moves (band_hash → doc_ids)
-rows — one small row per (doc, band), never document text.  Candidate
-verification re-reads only candidate docs via a broadcast id set.
+Shuffle discipline: every all-to-all moves small derived rows — one
+row per (doc, band) / (doc, shingle-hash) — never document text.  No
+stage reads the full corpus on the driver; driver-side work is always
+proportional to the candidate/output set.
 """
 
 from __future__ import annotations
-
-from collections import defaultdict
 
 import numpy as np
 import pandas as pd
@@ -52,6 +54,16 @@ def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.intersect1d(a, b, assume_unique=True).size
     union = a.size + b.size - inter
     return inter / union if union else 1.0
+
+
+def _shingle_list_array(sh: list[np.ndarray]) -> pa.ListArray:
+    """list<uint64> column from per-doc shingle-hash arrays (offsets +
+    one concatenated values buffer — no per-element Python)."""
+    lens = np.fromiter((s.size for s in sh), dtype=np.int64, count=len(sh))
+    off = np.zeros(len(sh) + 1, dtype=np.int32)
+    np.cumsum(lens, out=off[1:])
+    flat = np.concatenate(sh) if len(sh) else np.zeros(0, np.uint64)
+    return pa.ListArray.from_arrays(pa.array(off), pa.array(flat, pa.uint64()))
 
 
 class _MinHashBander:
@@ -99,6 +111,38 @@ def _rows_fnv(mat: np.ndarray) -> np.ndarray:
     return h
 
 
+class _CandidateShingler:
+    """Actor-pool verify stage: re-shingle ONLY the candidate docs.
+
+    The candidate id set rides the object store (``ray.put`` once,
+    fetched per actor in __init__); each batch keeps only its candidate
+    rows via a sorted-array membership test, so the full corpus streams
+    through workers and only candidates' shingle sets leave the stage.
+    """
+
+    def __init__(self, need_ref, shingle_k: int):
+        self._need = np.sort(np.asarray(ray.get(need_ref), dtype=np.int64))
+        self._k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if self._need.size:
+            pos = np.clip(np.searchsorted(self._need, ids), 0, self._need.size - 1)
+            mask = self._need[pos] == ids
+        else:
+            mask = np.zeros(ids.size, dtype=bool)
+        if not mask.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shingles": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        texts = batch.filter(pa.array(mask))["text"].to_pylist()
+        sh = shingle_hashes(texts, self._k)
+        return pa.table({"doc_id": ids[mask], "shingles": _shingle_list_array(sh)})
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     num_perm: int = 128,
@@ -111,8 +155,10 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
     jaccard >= threshold.  Candidates come from LSH banding (recall
-    controlled by bands/rows-per-band); verification recomputes exact
-    shingle Jaccard for candidate docs only.
+    controlled by bands/rows-per-band); verification re-shingles
+    candidate docs in a distributed scan with a broadcast id set
+    (:class:`_CandidateShingler`) — the driver only ever holds the
+    candidate pairs and candidate shingle sets, never the corpus.
     """
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
@@ -144,17 +190,21 @@ def minhash_lsh_pairs(
         )
     cand = cand.drop_duplicates().astype(np.int64)
 
-    # verify candidates: fetch only candidate docs (broadcast id set)
+    # distributed verify: broadcast the candidate id set, re-shingle
+    # candidates inside the scan, gather only |candidates| shingle sets
     need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
-    need_set = set(need.tolist())
-    docs = {}
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    for did, text in zip(t["doc_id"].to_numpy(), t["text"].to_pylist()):
-        if int(did) in need_set:
-            docs[int(did)] = text
-    sh = {d: shingle_hashes([docs[d]], shingle_k)[0] for d in docs}
+    need_ref = ray.put(need)
+    rows = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            _CandidateShingler,
+            fn_constructor_args=(need_ref, shingle_k),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .take_all()
+    )
+    sh = {int(r["doc_id"]): np.asarray(r["shingles"], dtype=np.uint64) for r in rows}
     jac = np.array(
         [exact_jaccard(sh[a], sh[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]
     )
@@ -198,107 +248,215 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+_EMPTY_HAMMING = pd.DataFrame(
+    {
+        "doc_a": pd.Series(dtype=np.int64),
+        "doc_b": pd.Series(dtype=np.int64),
+        "hamming": pd.Series(dtype=np.int64),
+    }
+)
+
+
 def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
     """SimHash near-dup pairs: (doc_a, doc_b, hamming <= max_hamming).
 
     Candidates via 16-bit chunk banding (a pair within Hamming<=3 of 64
     bits shares at least one exact 16-bit chunk by pigeonhole; wider
-    radii trade recall) then exact Hamming verify.
+    radii trade recall), realized as a distributed
+    ``groupby(chunk·2¹⁶ + band)`` — the same band-bucket shuffle as
+    MinHash-LSH, one small row per (doc, chunk).  Hamming verification
+    runs vectorized inside each bucket group; the driver only sees
+    verified pairs (deduplicated across the 4 chunk views).
     """
 
-    def signatures(batch: pa.Table) -> pa.Table:
+    def band_rows(batch: pa.Table) -> pa.Table:
         sigs = simhash_signatures(batch["text"].to_pylist())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = ids.size
+        bucket = np.empty(4 * n, dtype=np.int64)
+        for c in range(4):
+            band = ((sigs >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            bucket[c * n : (c + 1) * n] = (np.int64(c) << np.int64(16)) | band
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "simhash": sigs.astype(np.int64),  # bit-preserving view
+                "bucket": bucket,
+                "doc_id": np.tile(ids, 4),
+                "simhash": np.tile(sigs.astype(np.int64), 4),  # bit-preserving
             }
         )
 
-    sig = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        signatures, batch_format="pyarrow"
-    )
-    rows = sig.to_pandas()
-    sigs = rows["simhash"].to_numpy().astype(np.uint64)
-    ids = rows["doc_id"].to_numpy()
-    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
-    for chunk in range(4):
-        part = ((sigs >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)).astype(np.int64)
-        for i, p in enumerate(part):
-            buckets[(chunk, int(p))].append(i)
-    cand = set()
-    for members in buckets.values():
-        if len(members) > 1:
-            for ii in range(len(members)):
-                for jj in range(ii + 1, len(members)):
-                    a, b = members[ii], members[jj]
-                    cand.add((min(a, b), max(a, b)))
-    if not cand:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-            {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
+    def emit_verified(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return _EMPTY_HAMMING
+        ia, ib = np.triu_indices(n, 1)
+        sig = g["simhash"].to_numpy().astype(np.uint64)  # bit-preserving view
+        ham = hamming64(sig[ia], sig[ib])
+        keep = ham <= max_hamming
+        if not keep.any():
+            return _EMPTY_HAMMING
+        ids = g["doc_id"].to_numpy()
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(a, b),
+                "doc_b": np.maximum(a, b),
+                "hamming": ham[keep],
+            }
         )
-    ai = np.array([c[0] for c in cand])
-    bi = np.array([c[1] for c in cand])
-    ham = hamming64(sigs[ai], sigs[bi])
-    keep = ham <= max_hamming
-    out = pd.DataFrame(
-        {
-            "doc_a": ids[ai[keep]],
-            "doc_b": ids[bi[keep]],
-            "hamming": ham[keep],
-        }
+
+    pairs = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit_verified, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return _EMPTY_HAMMING.copy()
+    out = pairs.drop_duplicates(subset=["doc_a", "doc_b"]).astype(
+        {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
     )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via distributed inverted shingle index
+# ---------------------------------------------------------------------------
+
+_EMPTY_PARTIAL = pd.DataFrame(
+    {
+        "doc_a": pd.Series(dtype=np.int64),
+        "doc_b": pd.Series(dtype=np.int64),
+        "size_a": pd.Series(dtype=np.int64),
+        "size_b": pd.Series(dtype=np.int64),
+        "inter": pd.Series(dtype=np.int64),
+    }
+)
+
+
 def ngram_jaccard_pairs(
-    sf_dir: str, k: int = 3, threshold: float = 0.2
+    sf_dir: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    num_buckets: int = 64,
+    max_df: int | None = None,
 ) -> pd.DataFrame:
-    """Distributed exact all-pairs k-shingle Jaccard >= threshold.
+    """Exact all-pairs k-shingle Jaccard >= threshold, distributed.
 
-    The full corpus's per-doc shingle-hash sets are broadcast once
-    (small relative to text); each batch scores its docs against docs
-    with larger ids.  O(n^2) by design — the exact oracle tier; LSH
-    (:func:`minhash_lsh_pairs`) is the scale path.
+    Algorithm (inverted shingle index — no O(n²) corpus scan and no
+    driver-side corpus read):
+
+    1. explode each doc into (bucket, shingle_hash, doc_id, set_size)
+       rows — one row per *unique* shingle per doc, bucketed by
+       ``shingle_hash % num_buckets`` so groups are coarse;
+    2. ``groupby(bucket)`` → vectorized self-merge on shingle_hash
+       inside each group emits per-bucket partial co-occurrence counts
+       (doc_a, doc_b, inter_partial) with both docs' set sizes carried
+       along;
+    3. pair-bucketed ``groupby(pair_bucket)`` sums partials into exact
+       intersection sizes (vectorized pandas inside each coarse group —
+       a fine-grained groupby(doc_a, doc_b) would shuffle the same rows
+       but pay per-tiny-group overhead); jaccard = inter / (size_a +
+       size_b - inter), thresholded inside the group.
+
+    Work is Σ_shingle df² (co-occurring docs only) instead of n²; for
+    corpora without degenerate hot shingles that is ~linear.  ``max_df``
+    optionally drops shingles whose within-bucket document frequency
+    exceeds it (an explicit approximation knob for adversarial corpora
+    where one shingle appears in a large fraction of docs; ``None`` =
+    exact).  Docs with zero shingles (empty text) pair at jaccard 1.0,
+    matching :func:`exact_jaccard`'s both-empty convention, via a
+    sentinel bucket.
     """
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids = t["doc_id"].to_numpy()
-    sh = shingle_hashes(t["text"].to_pylist(), k)
-    ref = ray.put((ids, sh))
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = shingle_hashes(texts, k)
+        lens = np.fromiter((s.size for s in sh), dtype=np.int64, count=len(sh))
+        flat = np.concatenate(sh) if len(sh) else np.zeros(0, np.uint64)
+        doc_rep = np.repeat(ids, lens)
+        size_rep = np.repeat(lens, lens)
+        bucket = (flat % np.uint64(num_buckets)).astype(np.int64)
+        empty = lens == 0  # sentinel rows so empty docs still pair (jac 1.0)
+        if empty.any():
+            bucket = np.concatenate([bucket, np.full(int(empty.sum()), -1)])
+            flat = np.concatenate([flat, np.zeros(int(empty.sum()), np.uint64)])
+            doc_rep = np.concatenate([doc_rep, ids[empty]])
+            size_rep = np.concatenate([size_rep, np.zeros(int(empty.sum()), np.int64)])
+        return pa.table(
+            {
+                "bucket": bucket,
+                "shingle": flat.astype(np.int64),  # bit-preserving view
+                "doc_id": doc_rep,
+                "size": size_rep,
+            }
+        )
 
-    class PairScorer:
-        def __init__(self, r, thr):
-            self._ids, self._sh = ray.get(r)
-            self._pos = {int(d): i for i, d in enumerate(self._ids)}
-            self._thr = thr
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None:
+            df_counts = g["shingle"].value_counts()
+            hot = df_counts[df_counts > max_df].index
+            if len(hot):
+                g = g[~g["shingle"].isin(hot)]
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
+            return _EMPTY_PARTIAL
+        part = (
+            m.groupby(["doc_id_a", "doc_id_b", "size_a", "size_b"])
+            .size()
+            .reset_index(name="inter")
+        )
+        return part.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}).astype(
+            {
+                "doc_a": np.int64,
+                "doc_b": np.int64,
+                "size_a": np.int64,
+                "size_b": np.int64,
+                "inter": np.int64,
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_a, out_b, out_j = [], [], []
-            for d in batch["doc_id"].to_numpy(zero_copy_only=False):
-                i = self._pos[int(d)]
-                a = self._sh[i]
-                for j_idx in range(len(self._ids)):
-                    if int(self._ids[j_idx]) <= int(d):
-                        continue
-                    jac = exact_jaccard(a, self._sh[j_idx])
-                    if jac >= self._thr:
-                        out_a.append(int(d))
-                        out_b.append(int(self._ids[j_idx]))
-                        out_j.append(jac)
-            return pa.table(
-                {
-                    "doc_a": pa.array(out_a, pa.int64()),
-                    "doc_b": pa.array(out_b, pa.int64()),
-                    "jaccard": pa.array(out_j, pa.float64()),
-                }
-            )
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        pb = ((a * np.int64(0x9E3779B9)) ^ b) % np.int64(num_buckets)
+        return batch.append_column("pair_bucket", pa.array(pb, pa.int64()))
 
-    out = read(sf_dir, "documents", ["doc_id"]).map_batches(
-        PairScorer, fn_constructor_args=(ref, threshold), batch_format="pyarrow",
-        concurrency=(1, 4), batch_size=64,
-    ).to_pandas()
+    def sum_and_threshold(g: pd.DataFrame) -> pd.DataFrame:
+        part = g.groupby(["doc_a", "doc_b", "size_a", "size_b"], as_index=False)[
+            "inter"
+        ].sum()
+        inter = part["inter"].to_numpy().astype(np.float64)
+        sa = part["size_a"].to_numpy().astype(np.float64)
+        sb = part["size_b"].to_numpy().astype(np.float64)
+        both_empty = (sa == 0) & (sb == 0)
+        jac = np.where(both_empty, 1.0, inter / np.maximum(sa + sb - inter, 1.0))
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": part["doc_a"].to_numpy()[keep],
+                "doc_b": part["doc_b"].to_numpy()[keep],
+                "jaccard": jac[keep],
+            }
+        )
+
+    out = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(sum_and_threshold, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
+        )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

@@ -216,3 +216,49 @@ def test_ann_ivf_recall(ray_session):
     # each query's own vector (sim 1.0) must always be found
     r1 = ivf[ivf["rank"] == 1]
     assert (r1["query_id"].to_numpy() == r1["vec_id"].to_numpy()).all()
+
+
+def test_ngram_jaccard_distributed_matches_bruteforce(ray_session, planted_corpus):
+    """The inverted-index distributed Jaccard is exact: identical pair
+    set and values to the all-pairs brute force."""
+    from parallel_count_min_sketch_ray.pipelines.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_exact,
+    )
+
+    d, t = planted_corpus
+    dist = ngram_jaccard_pairs(d, threshold=0.3)
+    exact = (
+        ngram_jaccard_pairs_exact(
+            t["text"].to_pylist(), t["doc_id"].to_numpy(), threshold=0.3
+        )
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(dist) == len(exact) and len(exact) > 0
+    assert (dist["doc_a"].to_numpy() == exact["doc_a"].to_numpy()).all()
+    assert (dist["doc_b"].to_numpy() == exact["doc_b"].to_numpy()).all()
+    assert np.allclose(dist["jaccard"], exact["jaccard"])
+
+
+def test_ngram_jaccard_handles_empty_docs(ray_session, tmp_path):
+    """Zero-shingle (empty-text) docs pair at jaccard 1.0 (the
+    both-empty convention), via the sentinel bucket."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_count_min_sketch_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["", "", "alpha beta gamma delta"], pa.string()),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([0, 0, 22], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = ngram_jaccard_pairs(str(tmp_path), threshold=0.5)
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(1, 2)]
+    assert out["jaccard"].iloc[0] == 1.0

@@ -124,13 +124,34 @@ def md5_digests(strings) -> list[str]:
 def rolling_fingerprint(strings, window: int = 8) -> np.ndarray:
     """Document fingerprint: min of rolling FNV hashes over word
     ``window``-shingles (winnowing-style); uint64 per doc.  Stable
-    across runs; used for cheap near-dup pre-screening."""
-    out = np.empty(len(strings), dtype=np.uint64)
+    across runs; used for cheap near-dup pre-screening.
+
+    Vectorized batch-wise: window substrings come from offset slices of
+    the space-normalized text (cumulative word lengths — no per-window
+    ``join``), ALL windows of the batch hash in ONE
+    :func:`hash64_strings` call, and the per-doc min is a single
+    ``np.minimum.reduceat`` over the window offsets."""
+    n = len(strings)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    all_windows: list[str] = []
+    counts = np.empty(n, dtype=np.int64)
     for i, s in enumerate(strings):
         ws = s.split()
         if len(ws) <= window:
-            out[i] = hash64_strings([" ".join(ws)])[0]
-        else:
-            sh = [" ".join(ws[j : j + window]) for j in range(len(ws) - window + 1)]
-            out[i] = hash64_strings(sh).min()
-    return out
+            all_windows.append(" ".join(ws))
+            counts[i] = 1
+            continue
+        ns = " ".join(ws)
+        lens = np.fromiter((len(w) for w in ws), dtype=np.int64, count=len(ws))
+        ends = np.cumsum(lens + 1) - 1  # word i ends at ns[ends[i]] (excl.)
+        starts = ends - lens
+        n_win = len(ws) - window + 1
+        s_off = starts[:n_win]
+        e_off = ends[window - 1 :]
+        all_windows.extend(ns[a:b] for a, b in zip(s_off, e_off))
+        counts[i] = n_win
+    h = hash64_strings(all_windows)
+    off = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=off[1:])
+    return np.minimum.reduceat(h, off)

@@ -48,6 +48,16 @@ def _cents(arr: np.ndarray) -> np.ndarray:
     return np.round(a * 100.0).astype(np.int64)
 
 
+def _group_sum(tbl: pa.Table, keys: list[str]) -> pa.Table:
+    """Arrow-native per-batch partial combine: sum every non-key column
+    grouped by ``keys`` (no pandas round-trip inside map_batches)."""
+    value_cols = [c for c in tbl.column_names if c not in keys]
+    out = tbl.group_by(keys).aggregate([(c, "sum") for c in value_cols])
+    return out.rename_columns(
+        [c[: -len("_sum")] if c.endswith("_sum") else c for c in out.column_names]
+    )
+
+
 # ---------------------------------------------------------------------------
 # token-level exact aggregation over documents (the oracle path)
 # ---------------------------------------------------------------------------
@@ -149,11 +159,14 @@ def source_token_totals(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         n = textops.word_count(batch["text"])
-        df = pd.DataFrame(
-            {"source": batch["source"].to_pandas(), "n_tokens": n, "n_docs": 1}
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "n_tokens": pa.array(n),
+                "n_docs": pa.array(np.ones(len(n), dtype=np.int64)),
+            }
         )
-        g = df.groupby("source", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _group_sum(t, ["source"])
 
     from ray.data.aggregate import Sum
 
@@ -210,16 +223,15 @@ def events_hourly(sf_dir: str):
         ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         hour = ts_us // 3_600_000_000
         cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": batch["event_type"].to_pandas(),
-                "hour": hour,
-                "cnt": 1,
-                "value_cents": cents,
+                "event_type": batch["event_type"],
+                "hour": pa.array(hour),
+                "cnt": pa.array(np.ones(len(hour), dtype=np.int64)),
+                "value_cents": pa.array(cents),
             }
         )
-        g = df.groupby(["event_type", "hour"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _group_sum(t, ["event_type", "hour"])
 
     from ray.data.aggregate import Sum
 
@@ -280,20 +292,21 @@ def events_sliding(sf_dir: str, window_hops: int = 4, hop_us: int = 900_000_000)
         ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         hop = ts_us // hop_us
         cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
-        et = batch["event_type"].to_pandas().to_numpy()
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
         n = len(hop)
         k = np.arange(window_hops, dtype=np.int64)
         window_id = (hop[:, None] - k[None, :]).ravel()
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": np.repeat(et, window_hops),
-                "window_id": window_id,
-                "cnt": 1,
-                "vc": np.repeat(cents, window_hops),
+                "event_type": et.take(np.repeat(np.arange(n), window_hops)),
+                "window_id": pa.array(window_id),
+                "cnt": pa.array(np.ones(n * window_hops, dtype=np.int64)),
+                "vc": pa.array(np.repeat(cents, window_hops)),
             }
         )
-        g = df.groupby(["event_type", "window_id"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _group_sum(t, ["event_type", "window_id"])
 
     from ray.data.aggregate import Sum
 
@@ -359,15 +372,14 @@ def top_users_by_value(sf_dir: str, k: int = 20):
     from ray.data.aggregate import Count, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
-                "cnt": 1,
-                "vc": _cents(batch["value"].to_numpy(zero_copy_only=False)),
+                "user_id": batch["user_id"],
+                "cnt": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "vc": pa.array(_cents(batch["value"].to_numpy(zero_copy_only=False))),
             }
         )
-        g = df.groupby("user_id", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _group_sum(t, ["user_id"])
 
     agg = (
         read(sf_dir, "events", ["user_id", "value"])
@@ -394,18 +406,17 @@ def pricing_summary(sf_dir: str):
         ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
         disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
         disc_price = ext_c * (100 - disc_c)  # in 1e-4 dollars
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "l_returnflag": batch["l_returnflag"].to_pandas(),
-                "l_linestatus": batch["l_linestatus"].to_pandas(),
-                "qty_c": qty_c,
-                "ext_c": ext_c,
-                "disc_price_ten_thousandths": disc_price,
-                "cnt": 1,
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_c": pa.array(qty_c),
+                "ext_c": pa.array(ext_c),
+                "disc_price_ten_thousandths": pa.array(disc_price),
+                "cnt": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
             }
         )
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _group_sum(t, ["l_returnflag", "l_linestatus"])
 
     from ray.data.aggregate import Sum
 
@@ -432,7 +443,32 @@ def pricing_summary(sf_dir: str):
     ]
 
 
-def order_lineitem_join(sf_dir: str, num_partitions: int = 16):
+def _join_partitions(
+    sf_dir: str, tables: list[str], bytes_per_partition: int = 64 << 20
+) -> int:
+    """Hash-join partition count derived from input size: one partition
+    per ~64 MB of parquet across both sides, clamped to [2, 4×CPUs].
+
+    A hardcoded count starves the shuffle at 1000× the key space and
+    (measured) wastes it at small inputs — each hash-shuffle partition
+    costs an aggregator task, so 32 partitions on a 13 MB join ran
+    3-10× slower than 2-4 here."""
+    import glob
+    import math
+    import os
+
+    total = 0
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        else:
+            total += sum(os.path.getsize(f) for f in glob.glob(os.path.join(p, "*")))
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(math.ceil(total / bytes_per_partition), 4 * cpus))
+
+
+def order_lineitem_join(sf_dir: str, num_partitions: int | None = None):
     """Large-side hash join: lineitem ⋈ orders on orderkey (both sides
     too big to broadcast at scale) via native ``Dataset.join`` — a
     hash-partitioned shuffle on the key — then per-orderstatus revenue.
@@ -440,6 +476,8 @@ def order_lineitem_join(sf_dir: str, num_partitions: int = 16):
     Revenue uses the integer-cent product (price_cents × (100 −
     discount_cents)) so the DuckDB oracle matches bit-for-bit.
     """
+    if num_partitions is None:
+        num_partitions = _join_partitions(sf_dir, ["lineitem", "orders"])
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     joined = li.join(
@@ -453,15 +491,14 @@ def order_lineitem_join(sf_dir: str, num_partitions: int = 16):
     def partial(batch: pa.Table) -> pa.Table:
         ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
         disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "o_orderstatus": batch["o_orderstatus"].to_pandas(),
-                "n_items": 1,
-                "rev": ext_c * (100 - disc_c),
+                "o_orderstatus": batch["o_orderstatus"],
+                "n_items": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "rev": pa.array(ext_c * (100 - disc_c)),
             }
         )
-        g = df.groupby("o_orderstatus", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _group_sum(t, ["o_orderstatus"])
 
     from ray.data.aggregate import Sum
 
@@ -539,15 +576,16 @@ def orders_by_region(sf_dir: str):
             ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
             pos = np.clip(np.searchsorted(self._keys, ck), 0, len(self._keys) - 1)
             reg = np.where(self._keys[pos] == ck, self._vals[pos], "UNKNOWN")
-            df = pd.DataFrame(
+            t = pa.table(
                 {
-                    "r_name": reg,
-                    "n_orders": 1,
-                    "tp_c": _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)),
+                    "r_name": pa.array(reg.astype(str)),
+                    "n_orders": pa.array(np.ones(len(ck), dtype=np.int64)),
+                    "tp_c": pa.array(
+                        _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+                    ),
                 }
             )
-            g = df.groupby("r_name", as_index=False).sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return _group_sum(t, ["r_name"])
 
     from ray.data.aggregate import Sum
 
@@ -590,15 +628,16 @@ def orders_by_segment(sf_dir: str):
             pos = np.clip(pos, 0, len(self._keys) - 1)
             seg = self._vals[pos]
             seg = np.where(self._keys[pos] == ck, seg, "UNKNOWN")
-            df = pd.DataFrame(
+            t = pa.table(
                 {
-                    "c_mktsegment": seg,
-                    "n_orders": 1,
-                    "tp_c": _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)),
+                    "c_mktsegment": pa.array(seg.astype(str)),
+                    "n_orders": pa.array(np.ones(len(ck), dtype=np.int64)),
+                    "tp_c": pa.array(
+                        _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+                    ),
                 }
             )
-            g = df.groupby("c_mktsegment", as_index=False).sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return _group_sum(t, ["c_mktsegment"])
 
     from ray.data.aggregate import Sum
 

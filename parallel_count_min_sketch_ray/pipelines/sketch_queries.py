@@ -6,7 +6,7 @@ path ``src/core/count_min_sketch.c:14-27``) into the reference's item
 stream, and the sketch estimates are computed on it.  These results
 are deterministic (fixed seeds) but not SQL-expressible — the driver
 records rows-only checks; the ε·N / error-bound contracts are asserted
-in pytest instead (tests/test_sketch_queries.py).
+in pytest instead (tests/test_queries.py).
 """
 
 from __future__ import annotations

@@ -130,3 +130,15 @@ class BloomFilter:
             f"BloomFilter(capacity={self.capacity}, fp={self.fp_rate}, "
             f"m={self.num_bits}, k={self.num_hashes}, n~{self.count})"
         )
+
+    def describe(self) -> str:
+        """Parameter + bit-state dump (pretty-printer surface)."""
+        return "\n".join(
+            [
+                repr(self),
+                f"  bits: {self.num_bits} hashes: {self.num_hashes} "
+                f"fill_ratio: {self.fill_ratio():.4f}",
+                f"  items_added (merge upper bound): {self.count}",
+            ]
+        )
+

@@ -249,6 +249,27 @@ class CountMinSketch:
             f"seed={self.seed})"
         )
 
+    def describe(self, verbose: bool = False) -> str:
+        """Human-readable dump: params + hash family + per-row table
+        stats (``cms_print_all`` surface,
+        ``src/core/count_min_sketch.c:141-183``).  ``verbose=True`` adds
+        the full cell dump ``cms_print_table`` emits; the default
+        summarizes each row instead (a 100 TB build's table is still
+        only d×w cells, but nobody reads 2719 columns)."""
+        lines = [repr(self), f"  error_bound (eps*N): {self.error_bound()}"]
+        for r in range(self.depth):  # cms_print_hashes parity (.c:152-160)
+            lines.append(f"  hash[{r}]: a={int(self.a[r])} b={int(self.b[r])}")
+        for r in range(self.depth):
+            row = self.table[r]
+            lines.append(
+                f"  row[{r}]: nonzero={int(np.count_nonzero(row))}/{self.width} "
+                f"max={int(row.max())} sum={int(row.sum())}"
+            )
+        if verbose:  # cms_print_table parity (.c:141-150)
+            for r in range(self.depth):
+                lines.append("  " + " ".join(str(int(v)) for v in self.table[r]))
+        return "\n".join(lines)
+
     def __eq__(self, other) -> bool:
         return (
             isinstance(other, CountMinSketch)

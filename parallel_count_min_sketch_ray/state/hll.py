@@ -136,3 +136,17 @@ class HyperLogLog:
 
     def __repr__(self) -> str:
         return f"HyperLogLog(p={self.p}, m={self.m}, est={self.estimate():.1f})"
+
+    def describe(self) -> str:
+        """Parameter + register-state dump (the pretty-printer surface
+        of SURVEY.md §2.1 #16, extended to every sketch sibling)."""
+        zeros = int(np.count_nonzero(self.registers == 0))
+        return "\n".join(
+            [
+                repr(self),
+                f"  registers: m={self.m} zero={zeros} "
+                f"max_rank={int(self.registers.max())}",
+                f"  estimate: {self.estimate():.1f}",
+            ]
+        )
+

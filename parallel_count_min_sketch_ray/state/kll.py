@@ -193,3 +193,13 @@ class KLLSketch:
 
     def __repr__(self) -> str:
         return f"KLLSketch(k={self.k}, n={self.n}, levels={len(self.levels)})"
+
+    def describe(self) -> str:
+        """Parameter + level-occupancy dump (pretty-printer surface)."""
+        occ = " ".join(str(int(b.size)) for b in self.levels)
+        lines = [repr(self), f"  level sizes: [{occ}]"]
+        if self.n:
+            qs = self.quantiles([0.5, 0.99])
+            lines.append(f"  p50={qs[0]:.1f} p99={qs[1]:.1f}")
+        return "\n".join(lines)
+

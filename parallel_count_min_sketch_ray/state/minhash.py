@@ -112,3 +112,15 @@ class MinHashSignature:
 
     def __repr__(self) -> str:
         return f"MinHashSignature(num_perm={self.num_perm}, n~{self.n})"
+
+    def describe(self) -> str:
+        """Parameter + signature-prefix dump (pretty-printer surface)."""
+        prefix = ", ".join(str(int(v)) for v in self.sig[:8])
+        return "\n".join(
+            [
+                repr(self),
+                f"  sig[0:8]: [{prefix}]",
+                f"  items folded: {self.n}",
+            ]
+        )
+

@@ -147,3 +147,14 @@ class TopKSketch:
 
     def __repr__(self) -> str:
         return f"TopKSketch(k={self.k}, tracked={self.keys.size}, n={self.n}, offset={self.offset})"
+
+    def describe(self, m: int = 10) -> str:
+        """Parameter + top-m counter dump (pretty-printer surface)."""
+        lines = [
+            repr(self),
+            f"  tracked={self.keys.size}/{self.k} offset={self.offset} n={self.n}",
+        ]
+        for key, lo, hi in self.topk(m):
+            lines.append(f"  key={key}: [{lo}, {hi}]")
+        return "\n".join(lines)
+

@@ -283,3 +283,35 @@ def test_kll_topk_reject_bad_counts():
     kll = KLLSketch(seed=1)
     kll.update(np.array([5.0, 6.0]), np.array([0, 3]))  # zero-count dropped
     assert kll.n == 3
+
+
+def test_describe_all_sketches():
+    """Pretty-printer surface (SURVEY.md §2.1 #16,
+    src/core/count_min_sketch.c:141-183): every sketch dumps params +
+    state; CMS verbose mode dumps the full table like cms_print_table."""
+    from parallel_count_min_sketch_ray.state.bloom import BloomFilter
+    from parallel_count_min_sketch_ray.state.cms import CountMinSketch
+    from parallel_count_min_sketch_ray.state.hll import HyperLogLog
+    from parallel_count_min_sketch_ray.state.kll import KLLSketch
+    from parallel_count_min_sketch_ray.state.minhash import MinHashSignature
+    from parallel_count_min_sketch_ray.state.topk import TopKSketch
+
+    data = np.arange(1000) % 37
+    for sk in (
+        CountMinSketch(seed=1),
+        HyperLogLog(p=10),
+        BloomFilter(capacity=1000),
+        KLLSketch(),
+        TopKSketch(k=8),
+    ):
+        sk.update(data)
+        out = sk.describe()
+        assert type(sk).__name__ in out and "\n" in out
+    mh = MinHashSignature()
+    mh.update(data.astype(np.uint64))
+    assert "sig[0:8]" in mh.describe()
+    cms = CountMinSketch(seed=1)
+    cms.update(data)
+    verbose = cms.describe(verbose=True)
+    assert "hash[0]" in verbose
+    assert len(verbose.splitlines()) > 10  # includes the cell dump rows

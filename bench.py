@@ -169,8 +169,8 @@ def main() -> None:
                 RAY_GRAFT_CPUS=str(n),
                 GRAFT_BENCH_HEADLINE_ONLY="1",
                 GRAFT_BENCH_ROWS=scaling_rows,
-                GRAFT_BENCH_WARMUPS="4",
-                GRAFT_BENCH_REPS="5",
+                GRAFT_BENCH_WARMUPS=os.environ.get("GRAFT_BENCH_WARMUPS", "4"),
+                GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "5"),
             )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": analytics.dedup_exact,
         "token_count_regex": textpipe.token_count_regex,
         "source_token_totals": analytics.source_token_totals,
+        "clean_corpus": textpipe.clean_corpus,
         # --- events: windows / sessions / topk (SQL-checked) ---
         "events_hourly": analytics.events_hourly,
         "events_sessions": analytics.events_sessions,
@@ -145,6 +146,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             r"'[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens "
             "FROM documents"
+        ),
+        # quality filter -> exact dedup (min doc_id representative) ->
+        # per-(lang, source) rollup; mirrors pipelines/textpipe.py::clean_corpus
+        "clean_corpus": (
+            "WITH f AS (SELECT doc_id, lang, source, text, "
+            "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words, "
+            "COALESCE(CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
+            "NULLIF(len(list_filter(string_split(text, ' '), x -> x <> '')), 0), 0.0) "
+            "AS awl FROM documents), "
+            "q AS (SELECT * FROM f WHERE n_words >= 10 AND awl >= 2.0 AND awl <= 12.0), "
+            "d AS (SELECT md5(text) AS dg, MIN(doc_id) AS keep_id FROM q GROUP BY 1), "
+            "k AS (SELECT q.* FROM q JOIN d ON q.doc_id = d.keep_id) "
+            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_words) AS BIGINT) AS n_tokens FROM k GROUP BY lang, source"
         ),
         "events_hourly": (
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "

@@ -63,13 +63,25 @@ def _group_sum(tbl: pa.Table, keys: list[str]) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+_token_counts_cache: dict[str, "ray.data.Dataset"] = {}
+
+
 def token_counts(sf_dir: str):
     """Exact per-word counts over documents.text.
 
     Pattern: per-batch value_counts (partial combine) → groupby('token')
     sum — the shuffle moves one row per (block, distinct word), not one
     per word occurrence.
+
+    The materialized result is memoized per sf_dir (same pattern as
+    ``sketch_queries.build_all``): heavy_hitters / token_totals are
+    downstream views of the same vocabulary table — recomputing the
+    full scan+shuffle per view is the anti-pattern, reusing the
+    materialized artifact is how a real pipeline shares it.
     """
+    cached = _token_counts_cache.get(sf_dir)
+    if cached is not None:
+        return cached
 
     def partial(batch: pa.Table) -> pa.Table:
         flat = textops.flat_words(batch["text"])
@@ -82,11 +94,14 @@ def token_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = read(sf_dir, "documents", ["text"])
-    return (
+    out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
     )
+    _token_counts_cache[sf_dir] = out
+    return out
 
 
 def token_totals(sf_dir: str):

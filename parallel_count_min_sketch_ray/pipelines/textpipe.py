@@ -74,3 +74,76 @@ def doc_fingerprints(sf_dir: str, window: int = 8):
     return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow"
     )
+
+
+def clean_corpus(sf_dir: str):
+    """Training-data cleaning chain: quality filter → exact dedup →
+    per-(lang, source) rollup, in ONE distributed pipeline.
+
+    The dedup keeps each distinct text's minimum-doc_id row *with its
+    metadata* via an argmin-by-packed-key aggregate: pack
+    ``(zero-padded doc_id | n_words | lang | source)`` into one sortable
+    string and take ``Min`` per digest — no second corpus pass, no
+    broadcast keep-set, no per-group Python.  (Assumes '|' never occurs
+    in lang/source values; zero-padding makes lexicographic order equal
+    numeric doc_id order.)
+
+    Quality gate (deterministic): n_words >= 10 and 2 <= avg word
+    length <= 12 — the shape of a real corpus filter, checkable in SQL.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = textops.quality_metrics(batch)
+        keep = (m["n_words"] >= 10) & (m["avg_word_len"] >= 2.0) & (
+            m["avg_word_len"] <= 12.0
+        )
+        kept = batch.filter(pa.array(keep))
+        if kept.num_rows == 0:
+            return pa.table(
+                {"digest": pa.array([], pa.string()),
+                 "packed": pa.array([], pa.string())}
+            )
+        texts = kept["text"].to_pylist()
+        dg = textops.md5_digests(texts)
+        ids = kept["doc_id"].to_numpy(zero_copy_only=False)
+        nw = m["n_words"][keep]
+        langs = kept["lang"].to_pylist()
+        srcs = kept["source"].to_pylist()
+        packed = [
+            f"{i:020d}|{n}|{l}|{s}" for i, n, l, s in zip(ids, nw, langs, srcs)
+        ]
+        return pa.table(
+            {"digest": pa.array(dg, pa.string()),
+             "packed": pa.array(packed, pa.string())}
+        )
+
+    reps = (
+        read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("digest")
+        .aggregate(Min("packed", alias_name="packed"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        col = batch["packed"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(col, pattern="|")
+        flat = parts.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        mat = flat.reshape(n, 4) if n else np.zeros((0, 4), object)
+        return pa.table(
+            {
+                "lang": pa.array(mat[:, 2], pa.string()),
+                "source": pa.array(mat[:, 3], pa.string()),
+                "n_docs": pa.array(np.ones(n, dtype=np.int64)),
+                "n_tokens": pa.array(mat[:, 1].astype(np.int64) if n else np.zeros(0, np.int64)),
+            }
+        )
+
+    return (
+        reps.map_batches(unpack, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+    )

@@ -262,3 +262,35 @@ def test_ngram_jaccard_handles_empty_docs(ray_session, tmp_path):
     out = ngram_jaccard_pairs(str(tmp_path), threshold=0.5)
     assert list(zip(out["doc_a"], out["doc_b"])) == [(1, 2)]
     assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_clean_corpus_filters_and_dedups(ray_session, tmp_path):
+    """Quality gate drops short/degenerate docs; exact dedup keeps the
+    min-doc_id representative WITH its own metadata (argmin via packed
+    key), rolled up per (lang, source)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_count_min_sketch_ray.pipelines.textpipe import clean_corpus
+
+    good = " ".join(f"tok{i}" for i in range(20))      # passes the gate
+    short = "too short"                                 # n_words < 10
+    degenerate = " ".join("x" * 40 for _ in range(12))  # avg word len 40
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([good, good, short, degenerate, good + " extra"]),
+            "lang": pa.array(["en", "de", "en", "en", "en"]),
+            "source": pa.array(["s1", "s2", "s1", "s1", "s1"]),
+            "n_chars": pa.array([0] * 5, pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = clean_corpus(str(tmp_path)).to_pandas().sort_values(
+        ["lang", "source"]
+    ).reset_index(drop=True)
+    # doc 1 (de/s2) is the min-id representative of the duplicated good
+    # text — doc 5's (en/s1) copy must NOT be counted; doc 4 is distinct
+    assert out[["lang", "source"]].values.tolist() == [["de", "s2"], ["en", "s1"]]
+    assert out["n_docs"].tolist() == [1, 1]
+    assert out["n_tokens"].tolist() == [20, 21]

@@ -573,43 +573,39 @@ def orders_by_region(sf_dir: str):
     )
     n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
     r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    c2region = {
-        int(ck): r2name[n2r[int(nk)]]
-        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    ref = ray.put(c2region)
+    keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    keys = np.ascontiguousarray(keys[order].astype(np.int64))
+    vals = np.array(
+        [r2name[n2r[int(nk)]] for nk in cust["c_nationkey"].to_numpy()[order]]
+    ).astype(str)
+    ref = ray.put((keys, vals))
 
-    class RegionJoin:
-        def __init__(self, r):
-            lk = ray.get(r)
-            self._keys = np.fromiter(lk.keys(), dtype=np.int64, count=len(lk))
-            order = np.argsort(self._keys)
-            self._keys = self._keys[order]
-            self._vals = np.array(list(lk.values()), dtype=object)[order]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(self._keys, ck), 0, len(self._keys) - 1)
-            reg = np.where(self._keys[pos] == ck, self._vals[pos], "UNKNOWN")
-            t = pa.table(
-                {
-                    "r_name": pa.array(reg.astype(str)),
-                    "n_orders": pa.array(np.ones(len(ck), dtype=np.int64)),
-                    "tp_c": pa.array(
-                        _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
-                    ),
-                }
-            )
-            return _group_sum(t, ["r_name"])
+    # task-based stage (not an actor pool): the broadcast arrays ride
+    # the object store and ray.get is plasma-cached per worker —
+    # measured ~10x faster per query on this host than spinning a
+    # fresh actor pool whose processes repay the page-fault warmup
+    def region_join(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, ck), 0, len(k) - 1)
+        reg = np.where(k[pos] == ck, v[pos], "UNKNOWN")
+        t = pa.table(
+            {
+                "r_name": pa.array(reg),
+                "n_orders": pa.array(np.ones(len(ck), dtype=np.int64)),
+                "tp_c": pa.array(
+                    _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+        return _group_sum(t, ["r_name"])
 
     from ray.data.aggregate import Sum
 
     out = (
         read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(
-            RegionJoin, fn_constructor_args=(ref,), batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
+        .map_batches(region_join, batch_format="pyarrow", batch_size=65536)
         .groupby("r_name")
         .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("tp_c", alias_name="tp_c"))
     ).to_pandas()
@@ -624,44 +620,39 @@ def orders_by_segment(sf_dir: str):
     custkey→segment map once; every map task reads it from the object
     store — no shuffle join.
     """
-    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(
-        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
+    import pyarrow.parquet as pq_
+
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
+    keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    keys = np.ascontiguousarray(keys[order].astype(np.int64))
+    vals = cust["c_mktsegment"].to_numpy(zero_copy_only=False)[order].astype(str)
+    lookup_ref = ray.put((keys, vals))
 
-    class SegmentJoin:
-        def __init__(self, ref):
-            lk = ray.get(ref)
-            self._keys = np.fromiter(lk.keys(), dtype=np.int64, count=len(lk))
-            order = np.argsort(self._keys)
-            self._keys = self._keys[order]
-            self._vals = np.array(list(lk.values()), dtype=object)[order]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self._keys, ck)
-            pos = np.clip(pos, 0, len(self._keys) - 1)
-            seg = self._vals[pos]
-            seg = np.where(self._keys[pos] == ck, seg, "UNKNOWN")
-            t = pa.table(
-                {
-                    "c_mktsegment": pa.array(seg.astype(str)),
-                    "n_orders": pa.array(np.ones(len(ck), dtype=np.int64)),
-                    "tp_c": pa.array(
-                        _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
-                    ),
-                }
-            )
-            return _group_sum(t, ["c_mktsegment"])
+    # task-based broadcast-join stage (see orders_by_region note)
+    def segment_join(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(lookup_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, ck), 0, len(k) - 1)
+        seg = np.where(k[pos] == ck, v[pos], "UNKNOWN")
+        t = pa.table(
+            {
+                "c_mktsegment": pa.array(seg),
+                "n_orders": pa.array(np.ones(len(ck), dtype=np.int64)),
+                "tp_c": pa.array(
+                    _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+        return _group_sum(t, ["c_mktsegment"])
 
     from ray.data.aggregate import Sum
 
     out = (
         read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(
-            SegmentJoin, fn_constructor_args=(lookup_ref,), batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
+        .map_batches(segment_join, batch_format="pyarrow", batch_size=65536)
         .groupby("c_mktsegment")
         .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("tp_c", alias_name="tp_c"))
     ).to_pandas()

@@ -47,8 +47,9 @@ def load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]
 
 
 class _TopKScorer:
-    """Actor-pool stage: holds the normalized query matrix (fetched from
-    the object store once per actor), emits per-batch top-k rows."""
+    """map_batches task stage: holds the normalized query matrix
+    (resolved from the object store once, driver-side — it is tiny and
+    ships in the serialized function), emits per-batch top-k rows."""
 
     def __init__(self, qref, k: int):
         qids, qmat = ray.get(qref)
@@ -94,11 +95,11 @@ def ann_topk(sf_dir: str, k: int = 10, num_queries: int = 5) -> pd.DataFrame:
     qids, qmat = load_queries(sf_dir, num_queries)
     qref = ray.put((qids, qmat))
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # task-based stage: the scorer instance (tiny normalized query
+    # matrix) serializes once into the function export; tasks reuse
+    # warm workers instead of paying actor-pool process startup
     cands = ds.map_batches(
-        _TopKScorer,
-        fn_constructor_args=(qref, k),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        _TopKScorer(qref, k), batch_format="pyarrow", batch_size=65536
     ).to_pandas()
     # driver-side final merge of the (num_blocks × k) candidates
     cands["sim"] = cands["dot"] / np.maximum(cands["norm"], 1e-30)
@@ -182,8 +183,7 @@ def ann_lsh_topk(
 
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cands = ds.map_batches(
-        BucketScorer, fn_constructor_args=(qref, k), batch_format="pyarrow",
-        concurrency=(1, 4),
+        BucketScorer(qref, k), batch_format="pyarrow", batch_size=65536
     ).to_pandas()
     cands = cands.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True]
@@ -281,8 +281,7 @@ def ann_ivf_topk(
             )
 
     cands = read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        IVFScorer, fn_constructor_args=(qref, k), batch_format="pyarrow",
-        concurrency=(1, 4),
+        IVFScorer(qref, k), batch_format="pyarrow", batch_size=65536
     ).to_pandas()
     cands = cands.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True]
@@ -308,34 +307,31 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     fnorm = np.maximum(np.linalg.norm(full, axis=1), 1e-30)
     ref = ray.put((full_ids, full / fnorm[:, None]))
 
-    class PairFinder:
-        def __init__(self, r, thr):
-            self._ids, self._unit = ray.get(r)
-            self._thr = thr
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _matrix(batch["embedding"])
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            if mat.size == 0:
-                return pa.table({"vec_id_a": pa.array([], pa.int64()),
-                                 "vec_id_b": pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64())})
-            unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
-            sims = unit @ self._unit.T  # (n_batch, n_corpus)
-            ai, bi = np.nonzero(sims >= self._thr)
-            a_ids, b_ids = ids[ai], self._ids[bi]
-            keep = a_ids < b_ids
-            return pa.table(
-                {
-                    "vec_id_a": a_ids[keep].astype(np.int64),
-                    "vec_id_b": b_ids[keep].astype(np.int64),
-                    "sim": sims[ai[keep], bi[keep]],
-                }
-            )
+    # task-based stage; the corpus-sized unit matrix stays in the
+    # object store (ray.get is plasma-cached + zero-copy per worker)
+    def pair_finder(batch: pa.Table) -> pa.Table:
+        corpus_ids, corpus_unit = ray.get(ref)
+        mat = _matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if mat.size == 0:
+            return pa.table({"vec_id_a": pa.array([], pa.int64()),
+                             "vec_id_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+        sims = unit @ corpus_unit.T  # (n_batch, n_corpus)
+        ai, bi = np.nonzero(sims >= threshold)
+        a_ids, b_ids = ids[ai], corpus_ids[bi]
+        keep = a_ids < b_ids
+        return pa.table(
+            {
+                "vec_id_a": a_ids[keep].astype(np.int64),
+                "vec_id_b": b_ids[keep].astype(np.int64),
+                "sim": sims[ai[keep], bi[keep]],
+            }
+        )
 
     out = read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        PairFinder, fn_constructor_args=(ref, threshold), batch_format="pyarrow",
-        concurrency=(1, 4),
+        pair_finder, batch_format="pyarrow", batch_size=65536
     ).to_pandas()
     if len(out) == 0:
         return pd.DataFrame(

@@ -112,11 +112,11 @@ def _rows_fnv(mat: np.ndarray) -> np.ndarray:
 
 
 class _CandidateShingler:
-    """Actor-pool verify stage: re-shingle ONLY the candidate docs.
+    """map_batches verify stage: re-shingle ONLY the candidate docs.
 
-    The candidate id set rides the object store (``ray.put`` once,
-    fetched per actor in __init__); each batch keeps only its candidate
-    rows via a sorted-array membership test, so the full corpus streams
+    The candidate id set is small, so it ships once inside the
+    serialized task function; each batch keeps only its candidate rows
+    via a sorted-array membership test, so the full corpus streams
     through workers and only candidates' shingle sets leave the stage.
     """
 
@@ -162,11 +162,11 @@ def minhash_lsh_pairs(
     """
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
+    # task-based stage: the bander's state (permutation params) is a
+    # few KB and serializes once into the function export — no actor
+    # pool spin-up per query
     band_rows = ds.map_batches(
-        _MinHashBander,
-        fn_constructor_args=(num_perm, bands, shingle_k, seed),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        _MinHashBander(num_perm, bands, shingle_k, seed), batch_format="pyarrow"
     )
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -197,10 +197,7 @@ def minhash_lsh_pairs(
     rows = (
         read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(
-            _CandidateShingler,
-            fn_constructor_args=(need_ref, shingle_k),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
+            _CandidateShingler(need_ref, shingle_k), batch_format="pyarrow"
         )
         .take_all()
     )

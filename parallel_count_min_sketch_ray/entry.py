@@ -97,7 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.simhash_pairs,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
-        "lang_quality": textpipe.lang_quality,
+        "lang_quality": textpipe.lang_quality,  # SQL-checked
         "media_decode_stats": _media_decode_stats,
         "doc_fingerprints": textpipe.doc_fingerprints,
     }
@@ -232,6 +232,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_max, "
             "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS value_mean "
             "FROM events GROUP BY event_type"
+        ),
+        # heuristic language-ID + quality metrics (textpipe.lang_quality);
+        # the stopword list mirrors functions/textops.py::EN_STOP_SET
+        "lang_quality": (
+            "WITH w AS (SELECT doc_id, text, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), "
+            "m AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_words, "
+            "CAST(len(list_filter(ws, x -> x IN ('the','a','an','and','or','of','to',"
+            "'in','is','are','was','be','on','at','for','with','that','this','it',"
+            "'as','by'))) AS BIGINT) AS n_stopwords FROM w) "
+            "SELECT doc_id, "
+            "CASE WHEN n_words > 0 AND CAST(n_stopwords AS DOUBLE) / n_words > 0.08 "
+            "THEN 'en' ELSE 'other' END AS lang_pred, "
+            "n_words, n_stopwords, "
+            "COALESCE(CAST(n_stopwords AS DOUBLE) / NULLIF(n_words, 0), 0.0) "
+            "AS stop_ratio, "
+            "COALESCE(CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
+            "NULLIF(n_words, 0), 0.0) AS avg_word_len "
+            "FROM m"
         ),
         "embedding_norms": (
             "SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding, "

@@ -25,14 +25,16 @@ def lang_quality(sf_dir: str):
         # derive the prediction from the already-computed metrics rather
         # than calling language_id() (which would recompute them)
         lang_pred = np.where(m["stop_ratio"] > 0.08, "en", "other")
+        # ratios stay unrounded: both sides divide the same exact ints,
+        # so the float64 results are bit-identical with the SQL oracle
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "lang_pred": pa.array(lang_pred, pa.string()),
                 "n_words": m["n_words"],
                 "n_stopwords": m["n_stopwords"],
-                "stop_ratio": np.round(m["stop_ratio"], 6),
-                "avg_word_len": np.round(m["avg_word_len"], 6),
+                "stop_ratio": m["stop_ratio"],
+                "avg_word_len": m["avg_word_len"],
             }
         )
 

@@ -217,22 +217,48 @@ def minhash_lsh_pairs(
 
 def simhash_signatures(texts: list[str]) -> np.ndarray:
     """64-bit SimHash per text from word hashes (Charikar 2002):
-    sign of the per-bit sum of ±1 votes weighted by term frequency."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        ws = t.split()
-        if not ws:
-            out[i] = 0
-            continue
-        uniq, counts = np.unique(np.array(ws, dtype=object), return_counts=True)
-        h = hash64_strings(list(uniq))
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        votes = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
-        out[i] = np.packbits(
-            (votes > 0).astype(np.uint8)[::-1], bitorder="little"
-        ).view(np.uint64)[0]
+    sign of the per-bit sum of ±1 votes weighted by term frequency.
+
+    Vectorized batch-wise: summing ±1 votes weighted by term frequency
+    over *unique* words equals summing over every word instance, so the
+    whole batch's words hash in one (chunked) :func:`hash64_strings`
+    call, the (words, 64) ±1 bit matrix reduces per doc with
+    ``np.add.reduceat``, and the sign rows pack into uint64 in one
+    ``packbits``.  Bit-identical to the per-doc loop (asserted in
+    tests)."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    words_per_doc = [t.split() for t in texts]
+    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=n)
+    flat: list[str] = []
+    for ws in words_per_doc:
+        flat.extend(ws)
+    if not flat:
+        return out
+    # hash the batch VOCABULARY once and gather — repeats are free
+    arr = pa.array(flat, pa.string())
+    uniq = pa.compute.unique(arr)
+    uhash = hash64_strings(uniq.to_pylist())
+    idx = pa.compute.index_in(arr, value_set=uniq).to_numpy(zero_copy_only=False)
+    h = uhash[idx]
+    nonempty = lens > 0
+    # ±1 votes per bit, summed per doc via offsets (reduceat)
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    # sum raw 0/1 bits (small dtype, cache-friendly) and rescale:
+    # Σ(2b-1) == 2Σb − len; the int64 (words, 64) ±1 matrix costs ~50x
+    bit_sums = np.add.reduceat(
+        ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32), offsets, axis=0
+    )
+    votes = 2 * bit_sums - lens[nonempty][:, None]
+    # column order reversed to preserve the original per-doc packing
+    # convention (vote j lands in signature bit 63-j)
+    sig_bits = (votes > 0).astype(np.uint8)[:, ::-1]
+    packed = np.packbits(sig_bits, axis=1, bitorder="little")  # (docs, 8) LE bytes
+    out[nonempty] = packed.view(np.uint64).ravel()
     return out
 
 

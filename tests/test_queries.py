@@ -294,3 +294,37 @@ def test_clean_corpus_filters_and_dedups(ray_session, tmp_path):
     assert out[["lang", "source"]].values.tolist() == [["de", "s2"], ["en", "s1"]]
     assert out["n_docs"].tolist() == [1, 1]
     assert out["n_tokens"].tolist() == [20, 21]
+
+
+def test_simhash_signatures_vectorized_equals_loop():
+    """The batch-vectorized SimHash kernel is bit-identical to the
+    per-doc reference loop (unique-word term-frequency votes)."""
+    from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
+    from parallel_count_min_sketch_ray.pipelines.dedup import simhash_signatures
+
+    def per_doc(texts):
+        out = np.empty(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            ws = t.split()
+            if not ws:
+                out[i] = 0
+                continue
+            uniq, counts = np.unique(np.array(ws, dtype=object), return_counts=True)
+            h = hash64_strings(list(uniq))
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            ).astype(np.int64)
+            votes = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+            out[i] = np.packbits(
+                (votes > 0).astype(np.uint8)[::-1], bitorder="little"
+            ).view(np.uint64)[0]
+        return out
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(80)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(m)))
+        for m in rng.integers(0, 90, size=300)
+    ]
+    texts += ["", "solo", "rep rep rep rep other"]
+    assert np.array_equal(simhash_signatures(texts), per_doc(texts))

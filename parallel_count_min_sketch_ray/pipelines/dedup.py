@@ -40,12 +40,38 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
 
 
 def shingle_hashes(texts: list[str], k: int = 3) -> list[np.ndarray]:
-    """Per-doc uint64 shingle-hash sets (deduplicated)."""
-    out = []
-    for t in texts:
-        sh = word_shingles(t, k)
-        out.append(np.unique(hash64_strings(sh)) if sh else np.zeros(0, np.uint64))
-    return out
+    """Per-doc uint64 shingle-hash sets (deduplicated).
+
+    Vectorized batch-wise: shingle strings come from offset slices of
+    the space-normalized text (no per-shingle ``join``), the whole
+    batch hashes in ONE (chunked) :func:`hash64_strings` call, and
+    per-doc dedup is a numpy ``unique`` over each doc's hash segment.
+    Identical output to hashing :func:`word_shingles` per doc."""
+    n = len(texts)
+    counts = np.zeros(n, dtype=np.int64)
+    all_windows: list[str] = []
+    for i, s in enumerate(texts):
+        ws = s.split()
+        if not ws:
+            continue
+        if len(ws) < k:
+            all_windows.append(" ".join(ws))
+            counts[i] = 1
+            continue
+        ns = " ".join(ws)
+        lens = np.fromiter((len(w) for w in ws), dtype=np.int64, count=len(ws))
+        ends = np.cumsum(lens + 1) - 1
+        starts = ends - lens
+        n_win = len(ws) - k + 1
+        all_windows.extend(ns[a:b] for a, b in zip(starts[:n_win], ends[k - 1 :]))
+        counts[i] = n_win
+    h = hash64_strings(all_windows)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    return [
+        np.unique(h[off[i] : off[i + 1]]) if counts[i] else np.zeros(0, np.uint64)
+        for i in range(n)
+    ]
 
 
 def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": analytics.events_sessions,
         "events_lag": analytics.events_lag,
         "events_sliding": analytics.events_sliding,
+        "events_asof_join": analytics.events_asof_join,
         "distinct_users": analytics.distinct_users,
         "top_users_by_value": analytics.top_users_by_value,
         # --- relational (SQL-checked) ---
@@ -184,6 +185,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_users": (
             "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users FROM events"
+        ),
+        # native ASOF LEFT JOIN mirrors analytics.events_asof_join
+        "events_asof_join": (
+            "SELECT l.event_id, l.user_id, l.value, "
+            "COALESCE(r.value, -1.0) AS prev_purchase_value, "
+            "COALESCE(date_diff('microsecond', r.ts, l.ts), -1) AS us_since_purchase "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "events_lag": (
             "SELECT event_id, user_id, value, "

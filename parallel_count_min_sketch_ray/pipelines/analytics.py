@@ -382,6 +382,58 @@ def events_lag(sf_dir: str):
     )
 
 
+def events_asof_join(
+    sf_dir: str, left_type: str = "click", right_type: str = "purchase"
+):
+    """As-of join — the canonical custom operator Ray Data lacks
+    (SURVEY.md §2.4 custom-operator rule): each ``left_type`` event is
+    matched to the LATEST ``right_type`` event of the same user with
+    ``r.ts <= l.ts`` (DuckDB ``ASOF LEFT JOIN`` semantics; unmatched →
+    -1 sentinels).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    both sides co-locate per user via one ``groupby(user_id)`` — the
+    same single shuffle an equality join would need; within the group
+    the match is a vectorized ``searchsorted`` on the sorted right
+    timestamps, O((L+R) log R) per user.  The input scan filters to
+    the two event types before the shuffle, so the exchange carries
+    only participating rows.
+    """
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array([left_type, right_type]))
+        )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type]
+        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
+        lts = left["ts"].astype("int64").to_numpy()
+        rts = right["ts"].astype("int64").to_numpy()
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        found = idx >= 0
+        safe = np.clip(idx, 0, None)
+        rvals = right["value"].to_numpy()
+        pv = np.where(found, rvals[safe] if rts.size else -1.0, -1.0)
+        dus = np.where(found, lts - (rts[safe] if rts.size else 0), -1)
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(),
+                "user_id": left["user_id"].to_numpy(),
+                "value": left["value"].to_numpy(),
+                "prev_purchase_value": pv.astype(np.float64),
+                "us_since_purchase": dus.astype(np.int64),
+            }
+        )
+
+    return (
+        read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+        .map_batches(pick, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
 def top_users_by_value(sf_dir: str, k: int = 20):
     """Top-k users by exact total value (cents), tie-broken by user_id."""
     from ray.data.aggregate import Count, Sum

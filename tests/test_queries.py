@@ -328,3 +328,40 @@ def test_simhash_signatures_vectorized_equals_loop():
     ]
     texts += ["", "solo", "rep rep rep rep other"]
     assert np.array_equal(simhash_signatures(texts), per_doc(texts))
+
+
+def test_events_asof_join_semantics(ray_session, tmp_path):
+    """As-of semantics: latest right event with r.ts <= l.ts per user;
+    exact tie matches; no prior right event -> -1 sentinels."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_count_min_sketch_ray.pipelines.analytics import events_asof_join
+
+    us = lambda n: np.datetime64(n, "us")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": pa.array([us(100), us(50), us(150), us(150), us(10), us(5)],
+                           pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 7, 8, 8], pa.int64()),
+            "event_type": pa.array(
+                ["click", "purchase", "click", "purchase", "click", "view"]
+            ),
+            "value": pa.array([1.0, 20.0, 3.0, 40.0, 5.0, 6.0], pa.float64()),
+            "props": pa.array(["{}"] * 6),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        events_asof_join(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 1 (ts=100): purchase at 50 -> 20.0, gap 50us
+    # event 3 (ts=150): purchase at 150 ties -> 40.0, gap 0
+    # event 5 (user 8): no purchase -> sentinels
+    assert out["event_id"].tolist() == [1, 3, 5]
+    assert out["prev_purchase_value"].tolist() == [20.0, 40.0, -1.0]
+    assert out["us_since_purchase"].tolist() == [50, 0, -1]

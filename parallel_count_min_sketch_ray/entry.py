@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": analytics.events_lag,
         "events_sliding": analytics.events_sliding,
         "events_asof_join": analytics.events_asof_join,
+        "events_range_join": analytics.events_range_join,
         "distinct_users": analytics.distinct_users,
         "top_users_by_value": analytics.top_users_by_value,
         # --- relational (SQL-checked) ---
@@ -194,6 +195,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'click') l "
             "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        # interval join mirrors analytics.events_range_join
+        "events_range_join": (
+            "SELECT l.event_id, l.user_id, "
+            "CAST(COUNT(r.event_id) AS BIGINT) AS n_right_in_window "
+            "FROM (SELECT * FROM events WHERE event_type = 'error') l "
+            "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r "
+            "ON l.user_id = r.user_id "
+            "AND r.ts >= l.ts - INTERVAL 10 MINUTE AND r.ts <= l.ts "
+            "GROUP BY l.event_id, l.user_id"
         ),
         "events_lag": (
             "SELECT event_id, user_id, value, "

@@ -434,6 +434,53 @@ def events_asof_join(
     )
 
 
+def events_range_join(
+    sf_dir: str,
+    left_type: str = "error",
+    right_type: str = "click",
+    window_us: int = 600_000_000,
+):
+    """Range (interval) join — second custom operator of the SURVEY
+    §2.4 family: for each ``left_type`` event, the count of
+    ``right_type`` events of the same user with ``l.ts - window <=
+    r.ts <= l.ts``.
+
+    Same partitioning contract as :func:`events_asof_join`: one
+    ``groupby(user_id)`` co-locates both (pre-filtered) sides; the
+    in-group interval count is two vectorized ``searchsorted`` calls
+    over the sorted right timestamps — O((L+R) log R) per user, never
+    the O(L·R) pair expansion an inequality join naively implies.
+    """
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array([left_type, right_type]))
+        )
+
+    def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type]
+        rts = np.sort(
+            g.loc[g["event_type"] == right_type, "ts"].astype("int64").to_numpy()
+        )
+        lts = left["ts"].astype("int64").to_numpy()
+        hi = np.searchsorted(rts, lts, side="right")
+        lo = np.searchsorted(rts, lts - window_us, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(),
+                "user_id": left["user_id"].to_numpy(),
+                "n_right_in_window": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return (
+        read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(pick, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(count_in_window, batch_format="pandas")
+    )
+
+
 def top_users_by_value(sf_dir: str, k: int = 20):
     """Top-k users by exact total value (cents), tie-broken by user_id."""
     from ray.data.aggregate import Count, Sum

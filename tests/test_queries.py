@@ -365,3 +365,42 @@ def test_events_asof_join_semantics(ray_session, tmp_path):
     assert out["event_id"].tolist() == [1, 3, 5]
     assert out["prev_purchase_value"].tolist() == [20.0, 40.0, -1.0]
     assert out["us_since_purchase"].tolist() == [50, 0, -1]
+
+
+def test_events_range_join_semantics(ray_session, tmp_path):
+    """Interval semantics: count right events with l.ts - 10min <=
+    r.ts <= l.ts per user; window boundaries inclusive both ends."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_count_min_sketch_ray.pipelines.analytics import events_range_join
+
+    m = 60_000_000  # one minute in us
+    us = lambda n: np.datetime64(n, "us")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": pa.array(
+                [us(20 * m), us(20 * m - 10 * m), us(20 * m - 10 * m - 1),
+                 us(20 * m), us(5), us(4)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([3, 3, 3, 3, 9, 9], pa.int64()),
+            "event_type": pa.array(
+                ["error", "click", "click", "click", "error", "view"]
+            ),
+            "value": pa.array([0.0] * 6, pa.float64()),
+            "props": pa.array(["{}"] * 6),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        events_range_join(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 1: clicks at exactly -10min (in, inclusive), -10min-1us
+    # (out), and 0 (in) -> 2; event 5 (user 9): no clicks -> 0
+    assert out["event_id"].tolist() == [1, 5]
+    assert out["n_right_in_window"].tolist() == [2, 0]

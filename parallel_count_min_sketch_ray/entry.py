@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # SQL-checked
         "simhash_pairs": dedup.simhash_pairs,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        "embedding_near_dup_lsh": ann.embedding_near_dup_lsh,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "lang_quality": textpipe.lang_quality,  # SQL-checked
         "media_decode_stats": _media_decode_stats,

@@ -341,3 +341,107 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
         )
     out["sim"] = np.round(out["sim"], 4)  # oracle parity
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_lsh(
+    sf_dir: str,
+    threshold: float = 0.4,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Scale path for :func:`embedding_near_dup`: multi-table
+    random-hyperplane LSH bucketing instead of an all-pairs broadcast.
+
+    Each vector is hashed into ``num_tables`` independent hyperplane
+    buckets; candidate pairs are scored exactly (cosine) WITHIN each
+    bucket group only, then deduplicated across tables.  The shuffle
+    moves each embedding ``num_tables`` times keyed by bucket — rows
+    proportional to the corpus, never pairs; no stage holds the full
+    corpus.  Approximate: a pair is found only if some table buckets it
+    together (recall vs the exact oracle asserted in tests; more tables
+    / fewer planes raise recall).  Defaults (4 planes x 8 tables) give
+    ~0.75 theoretical recall at cosine 0.4 (p = 1-(1-(1-acos(s)/pi)^b)^T);
+    at larger corpora raise ``num_planes`` so expected bucket size
+    n/2^planes stays bounded, and add tables to hold recall.
+    """
+    import pyarrow.parquet as pq
+
+    # plane matrices derive from the seed; dim probed from one row
+    rng = np.random.default_rng(seed)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    probe = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(probe["embedding"][0])
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch["embedding"])
+        n = mat.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": batch["embedding"],
+                }
+            )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = []
+        for t in range(num_tables):
+            b = hyperplane_signatures(mat, planes[t])
+            key = (np.int64(t) << np.int64(num_planes)) | b
+            parts.append(
+                pa.table({"bucket": key, "vec_id": ids, "embedding": col})
+            )
+        return pa.concat_tables(parts)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id_a": pd.Series(dtype=np.int64),
+                    "vec_id_b": pd.Series(dtype=np.int64),
+                    "sim": pd.Series(dtype=np.float64),
+                }
+            )
+        mat = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in g["embedding"]]
+        )
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+        sims = unit @ unit.T
+        ia, ib = np.triu_indices(n, 1)
+        keep = sims[ia, ib] >= threshold
+        ids = g["vec_id"].to_numpy()
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.minimum(a, b),
+                "vec_id_b": np.maximum(a, b),
+                "sim": sims[ia[keep], ib[keep]],
+            }
+        )
+
+    out = (
+        read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "vec_id_a": pd.Series(dtype=np.int64),
+                "vec_id_b": pd.Series(dtype=np.int64),
+                "sim": pd.Series(dtype=np.float64),
+            }
+        )
+    out = out.drop_duplicates(subset=["vec_id_a", "vec_id_b"]).astype(
+        {"vec_id_a": np.int64, "vec_id_b": np.int64, "sim": np.float64}
+    )
+    out["sim"] = np.round(out["sim"], 4)
+    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)

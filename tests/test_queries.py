@@ -404,3 +404,20 @@ def test_events_range_join_semantics(ray_session, tmp_path):
     # (out), and 0 (in) -> 2; event 5 (user 9): no clicks -> 0
     assert out["event_id"].tolist() == [1, 5]
     assert out["n_right_in_window"].tolist() == [2, 0]
+
+
+def test_embedding_near_dup_lsh_recall(ray_session):
+    """LSH-bucketed near-dup (the scale path) finds most exact pairs
+    and only true pairs (exact scoring within buckets)."""
+    from parallel_count_min_sketch_ray.pipelines.ann import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    exact = embedding_near_dup(SF_UNIT, threshold=0.4)
+    lsh = embedding_near_dup_lsh(SF_UNIT, threshold=0.4)
+    ep = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    lp = set(zip(lsh["vec_id_a"], lsh["vec_id_b"]))
+    assert ep, "exact oracle should find near-dup pairs"
+    assert lp <= ep  # precision 1.0: in-bucket scoring is exact
+    assert len(lp & ep) / len(ep) >= 0.5

@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": analytics.events_sliding,
         "events_asof_join": analytics.events_asof_join,
         "events_range_join": analytics.events_range_join,
+        "events_props_stats": analytics.events_props_stats,
         "distinct_users": analytics.distinct_users,
         "top_users_by_value": analytics.top_users_by_value,
         # --- relational (SQL-checked) ---
@@ -196,6 +197,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'click') l "
             "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        # regex field extraction mirrors analytics.events_props_stats
+        "events_props_stats": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(k) AS BIGINT) AS k_sum, "
+            "CAST(MIN(k) AS BIGINT) AS k_min, CAST(MAX(k) AS BIGINT) AS k_max "
+            "FROM (SELECT event_type, "
+            "CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT) AS k "
+            "FROM events) t GROUP BY event_type"
         ),
         # interval join mirrors analytics.events_range_join
         "events_range_join": (

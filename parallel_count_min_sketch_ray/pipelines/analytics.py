@@ -481,6 +481,36 @@ def events_range_join(
     )
 
 
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON-ish ``props`` column with ONE vectorized RE2 kernel
+    (``pc.extract_regex``) — the scale shape of lightweight JSON
+    decoding (a full parser would be an actor-pool stage) — then exact
+    per-event-type stats of k via the built-in aggregate suite."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def extract(batch: pa.Table) -> pa.Table:
+        col = batch["props"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    out = (
+        read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="cnt"),
+            Sum("k", alias_name="k_sum"),
+            Min("k", alias_name="k_min"),
+            Max("k", alias_name="k_max"),
+        )
+    ).to_pandas()
+    return out[["event_type", "cnt", "k_sum", "k_min", "k_max"]]
+
+
 def top_users_by_value(sf_dir: str, k: int = 20):
     """Top-k users by exact total value (cents), tie-broken by user_id."""
     from ray.data.aggregate import Count, Sum

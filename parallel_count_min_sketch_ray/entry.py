@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": analytics.orders_by_segment,
         "orders_by_region": analytics.orders_by_region,
         "order_lineitem_join": analytics.order_lineitem_join,
+        "brand_nation_revenue": analytics.brand_nation_revenue,
         "events_value_stats": analytics.events_value_stats,
         # --- embeddings (SQL-checked) ---
         "embedding_norms": ann.embedding_norms,
@@ -257,6 +258,17 @@ def oracle_sql() -> dict[str, str]:
             "(100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "GROUP BY o.o_orderstatus"
+        ),
+        # snowflake-collapse star join mirrors analytics.brand_nation_revenue
+        "brand_nation_revenue": (
+            "SELECT p.p_brand, n.n_name, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 "
+            "AS revenue "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "GROUP BY p.p_brand, n.n_name"
         ),
         "events_value_stats": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "

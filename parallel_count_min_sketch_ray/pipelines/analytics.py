@@ -655,6 +655,79 @@ def order_lineitem_join(sf_dir: str, num_partitions: int | None = None):
     return out[["o_orderstatus", "n_items", "revenue"]]
 
 
+def _sorted_lookup(table: pa.Table, key_col: str, val_col) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted int64 keys, aligned values) for searchsorted broadcast joins."""
+    keys = table[key_col].to_numpy()
+    order = np.argsort(keys)
+    vals = (
+        val_col[order]
+        if isinstance(val_col, np.ndarray)
+        else table[val_col].to_numpy(zero_copy_only=False)[order]
+    )
+    return np.ascontiguousarray(keys[order].astype(np.int64)), vals
+
+
+def brand_nation_revenue(sf_dir: str):
+    """Star-schema rollup over the two remaining dimension tables:
+    lineitem ⋈ part (brand) ⋈ supplier ⋈ nation (supplier nation) →
+    revenue per (p_brand, n_name).
+
+    Both dimension sides broadcast as sorted-array lookups resolved in
+    ONE map stage (supplier→nation composed driver-side first — the
+    classic snowflake-collapse); the fact table streams, pre-aggregated
+    per batch before the small groupby."""
+    import pyarrow.parquet as pq_
+
+    part = pq_.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    n2name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    supp_nation = np.array(
+        [n2name[int(nk)] for nk in supp["s_nationkey"].to_numpy()]
+    ).astype(str)
+    pk, pbrand = _sorted_lookup(part, "p_partkey", "p_brand")
+    pbrand = pbrand.astype(str)
+    sk, snation = _sorted_lookup(supp, "s_suppkey", supp_nation)
+    ref = ray.put((pk, pbrand, sk, snation))
+
+    def star_join(batch: pa.Table) -> pa.Table:
+        pkeys, pvals, skeys, svals = ray.get(ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        ppos = np.clip(np.searchsorted(pkeys, lpk), 0, len(pkeys) - 1)
+        spos = np.clip(np.searchsorted(skeys, lsk), 0, len(skeys) - 1)
+        brand = np.where(pkeys[ppos] == lpk, pvals[ppos], "UNKNOWN")
+        nat = np.where(skeys[spos] == lsk, svals[spos], "UNKNOWN")
+        ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "p_brand": pa.array(brand),
+                "n_name": pa.array(nat),
+                "n_items": pa.array(np.ones(len(lpk), dtype=np.int64)),
+                "rev": pa.array(ext_c * (100 - disc_c)),
+            }
+        )
+        return _group_sum(t, ["p_brand", "n_name"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(star_join, batch_format="pyarrow", batch_size=65536)
+        .groupby(["p_brand", "n_name"])
+        .aggregate(Sum("n_items", alias_name="n_items"), Sum("rev", alias_name="rev"))
+    ).to_pandas()
+    out["revenue"] = out["rev"].astype(np.float64) / 10000.0
+    return out[["p_brand", "n_name", "n_items", "revenue"]]
+
+
 def events_value_stats(sf_dir: str):
     """Per-event-type exact value stats (min/max/mean via integer cents)
     using Ray's built-in aggregate functions."""

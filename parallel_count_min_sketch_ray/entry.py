@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_words": sketch_queries.topk_words,
         "cms_accuracy_report": sketch_queries.cms_accuracy_report,
         "source_distinct_tokens": sketch_queries.source_distinct_tokens,
+        "source_ntok_quantiles": sketch_queries.source_ntok_quantiles,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
         # --- near-dup / text analysis ---
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (LSH recall)

@@ -268,3 +268,25 @@ def checkpointed_lineage(sf_dir: str, ckpt_dir: str | None = None) -> pd.DataFra
     return lin[["partition_id", "rows", "items_cms", "resumed"]].sort_values(
         "partition_id"
     ).reset_index(drop=True)
+
+
+def source_ntok_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-source n_tok quantile estimates via grouped KLL aggregation
+    (``ds.groupby('source').aggregate(sketch UDAF)`` — the shuffle
+    carries per-block KLL partials, not rows)."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        build_sketches_by_key,
+    )
+
+    ds = tokenized_documents(sf_dir)
+    grouped = build_sketches_by_key(
+        ds, "source", [SketchSpec("kll", KLLSketch(k=200, seed=SEED), "n_tok")]
+    )
+    rows = []
+    for src in sorted(grouped):
+        kll = grouped[src]["kll"]
+        qs = kll.quantiles([0.5, 0.9, 0.99])
+        rows.append((src, int(kll.n), float(qs[0]), float(qs[1]), float(qs[2])))
+    return pd.DataFrame(
+        rows, columns=["source", "n_docs", "p50", "p90", "p99"]
+    )

@@ -421,3 +421,28 @@ def test_embedding_near_dup_lsh_recall(ray_session):
     assert ep, "exact oracle should find near-dup pairs"
     assert lp <= ep  # precision 1.0: in-bucket scoring is exact
     assert len(lp & ep) / len(ep) >= 0.5
+
+
+def test_driver_contract_consistency():
+    """Every oracle_sql key has a queries() entry; callables are
+    importable; no duplicate names."""
+    from parallel_count_min_sketch_ray import entry as em
+
+    q = em.queries()
+    o = em.oracle_sql()
+    assert set(o) <= set(q), set(o) - set(q)
+    assert all(callable(fn) for fn in q.values())
+    # oracle coverage should not silently shrink
+    assert len(o) >= 29
+    assert len(q) >= 45
+
+
+def test_source_ntok_quantiles(ray_session):
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        source_ntok_quantiles,
+    )
+
+    out = source_ntok_quantiles(SF_UNIT)
+    assert len(out) > 0
+    assert (out["p50"] <= out["p90"]).all() and (out["p90"] <= out["p99"]).all()
+    assert (out["n_docs"] > 0).all()

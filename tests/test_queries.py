@@ -446,3 +446,41 @@ def test_source_ntok_quantiles(ray_session):
     assert len(out) > 0
     assert (out["p50"] <= out["p90"]).all() and (out["p90"] <= out["p99"]).all()
     assert (out["n_docs"] > 0).all()
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(ray_session, tmp_path):
+    """The documented approximation knob: shingles whose document
+    frequency exceeds max_df are dropped from the inverted index, so
+    pairs supported ONLY by hot shingles disappear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_count_min_sketch_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    hot = "common shared phrase"  # one 3-shingle present in every doc
+    texts = [f"{hot} unique{i} filler{i} tail{i}" for i in range(6)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 6),
+            "source": pa.array(["s"] * 6),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    full = ngram_jaccard_pairs(str(tmp_path), threshold=0.05)
+    capped = ngram_jaccard_pairs(str(tmp_path), threshold=0.05, max_df=3)
+    assert len(full) == 15  # all pairs share the hot shingle
+    assert len(capped) == 0  # hot shingle dropped -> no support left
+
+
+def test_join_partitions_derivation(ray_session):
+    from parallel_count_min_sketch_ray.pipelines.analytics import _join_partitions
+
+    small = _join_partitions("/root/testdata/sf0.01", ["lineitem", "orders"])
+    assert small == 2  # ~1.4 MB -> floor of 2
+    tiny_bpp = _join_partitions(
+        "/root/testdata/sf0.01", ["lineitem", "orders"], bytes_per_partition=64 << 10
+    )
+    assert tiny_bpp > small  # scales with bytes/partition target

@@ -63,11 +63,27 @@ def write_partition_atomic(out_dir: str, pid: str, tables) -> dict:
         "bytes": nbytes,
         "wall_time": time.perf_counter() - t0,
     }
+    # same durability discipline as state/checkpoint.py: data + marker
+    # fsynced before the rename, parent dir after — '_SUCCESS present'
+    # must imply 'partition complete' even across power loss
+    for name in os.listdir(tmp):
+        fd = os.open(os.path.join(tmp, name), os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         json.dump(record, f)
+        f.flush()
+        os.fsync(f.fileno())
     if os.path.exists(final):
         shutil.rmtree(final)
     os.replace(tmp, final)
+    fd = os.open(out_dir, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     return record
 
 

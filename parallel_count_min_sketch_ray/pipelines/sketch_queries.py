@@ -206,18 +206,15 @@ def source_distinct_tokens(sf_dir: str) -> pd.DataFrame:
 def cms_accuracy_report(sf_dir: str) -> pd.DataFrame:
     """Full accuracy sweep vs the exact token-count oracle — the
     ``test_cms_accuracy`` report (count_min_sketch.c:205-242) run
-    distributed: Ray builds both the sketch AND the exact oracle
-    (token_counts), then validates every unique token."""
+    distributed END-TO-END: Ray builds the sketch AND the exact oracle
+    (token_counts), then validates every unique token in a distributed
+    partial-stats pass (:func:`..state.validate.validate_cms_distributed`)
+    — the vocabulary never lands on the driver; only seven scalars do."""
     from parallel_count_min_sketch_ray.pipelines.analytics import token_counts
-    from parallel_count_min_sketch_ray.state.validate import validate_cms
+    from parallel_count_min_sketch_ray.state.validate import validate_cms_distributed
 
     rep = build_all(sf_dir)
-    cms = rep["cms"]
-    oracle = token_counts(sf_dir).to_pandas()
-    ids = np.array(
-        [djb2(w) & 0x7FFFFFFF for w in oracle["token"]], dtype=np.int64
-    )
-    report = validate_cms(cms, ids, oracle["cnt"].to_numpy(), strict=True)
+    report = validate_cms_distributed(rep["cms"], token_counts(sf_dir), strict=True)
     d = report.as_dict()
     return pd.DataFrame({"metric": list(d.keys()), "value": [float(v) for v in d.values()]})
 

@@ -484,3 +484,22 @@ def test_join_partitions_derivation(ray_session):
         "/root/testdata/sf0.01", ["lineitem", "orders"], bytes_per_partition=64 << 10
     )
     assert tiny_bpp > small  # scales with bytes/partition target
+
+
+def test_distributed_accuracy_report_matches_driver_side(ray_session):
+    """validate_cms_distributed returns the same seven scalars as the
+    in-memory validate_cms over the same vocabulary."""
+    from parallel_count_min_sketch_ray.functions.hashing import djb2
+    from parallel_count_min_sketch_ray.pipelines.analytics import token_counts
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import build_all
+    from parallel_count_min_sketch_ray.state.validate import (
+        validate_cms,
+        validate_cms_distributed,
+    )
+
+    cms = build_all(SF_UNIT)["cms"]
+    dist = validate_cms_distributed(cms, token_counts(SF_UNIT), strict=True)
+    oracle = token_counts(SF_UNIT).to_pandas()
+    ids = np.array([djb2(w) & 0x7FFFFFFF for w in oracle["token"]], dtype=np.int64)
+    mem = validate_cms(cms, ids, oracle["cnt"].to_numpy(), strict=True)
+    assert dist.as_dict() == mem.as_dict()

@@ -88,3 +88,70 @@ def test_topk_bounds_survive_any_split(items, cut):
     for key, cnt in truth.items():
         if key not in tracked:
             assert cnt <= a.offset
+
+
+# --- vectorized text kernels == their per-doc reference loops ----------
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+    ),
+    max_size=25,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=texts_strategy, k=st.integers(min_value=1, max_value=5))
+def test_shingle_hashes_vectorized_equals_loop(texts, k):
+    from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
+    from parallel_count_min_sketch_ray.pipelines.dedup import (
+        shingle_hashes,
+        word_shingles,
+    )
+
+    vec = shingle_hashes(texts, k)
+    for t, got in zip(texts, vec):
+        sh = word_shingles(t, k)
+        want = np.unique(hash64_strings(sh)) if sh else np.zeros(0, np.uint64)
+        assert np.array_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=texts_strategy)
+def test_simhash_vectorized_equals_loop(texts):
+    from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
+    from parallel_count_min_sketch_ray.pipelines.dedup import simhash_signatures
+
+    got = simhash_signatures(texts)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        if not ws:
+            assert got[i] == 0
+            continue
+        uniq, counts = np.unique(np.array(ws, dtype=object), return_counts=True)
+        h = hash64_strings(list(uniq))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        votes = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+        want = np.packbits(
+            (votes > 0).astype(np.uint8)[::-1], bitorder="little"
+        ).view(np.uint64)[0]
+        assert got[i] == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=texts_strategy, window=st.integers(min_value=1, max_value=10))
+def test_rolling_fingerprint_vectorized_equals_loop(texts, window):
+    from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
+    from parallel_count_min_sketch_ray.functions.textops import rolling_fingerprint
+
+    got = rolling_fingerprint(texts, window)
+    for i, s in enumerate(texts):
+        ws = s.split()
+        if len(ws) <= window:
+            want = hash64_strings([" ".join(ws)])[0]
+        else:
+            sh = [" ".join(ws[j : j + window]) for j in range(len(ws) - window + 1)]
+            want = hash64_strings(sh).min()
+        assert got[i] == want

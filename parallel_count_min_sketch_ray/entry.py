@@ -330,7 +330,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2, 3, 4) "
             "SELECT doc_a, doc_b, "
             "CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard "
-            "FROM p WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.2"
+            "FROM p WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.2 "
+            # exact_jaccard's both-empty convention: two zero-shingle
+            # (empty-text) docs pair at jaccard 1.0
+            "UNION ALL SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE len(a.sh) = 0 AND len(b.sh) = 0"
         ),
         "embedding_near_dup": (
             "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "

@@ -121,6 +121,26 @@ def md5_digests(strings) -> list[str]:
     return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strings]
 
 
+def word_windows(ws: list[str], k: int) -> list[str]:
+    """All k-word windows of a word list as space-joined strings,
+    sliced by offset from ONE normalized join (no per-window ``join`` —
+    cumulative word lengths give each window's [start, end) in the
+    joined string).  0 < len(ws) <= k yields the single whole-doc
+    window; [] for no words.  Shared by shingling and fingerprinting —
+    the offset arithmetic lives in exactly one place.
+    """
+    if not ws:
+        return []
+    if len(ws) <= k:
+        return [" ".join(ws)]
+    ns = " ".join(ws)
+    lens = np.fromiter((len(w) for w in ws), dtype=np.int64, count=len(ws))
+    ends = np.cumsum(lens + 1) - 1  # word i ends at ns[ends[i]] (excl.)
+    starts = ends - lens
+    n_win = len(ws) - k + 1
+    return [ns[a:b] for a, b in zip(starts[:n_win], ends[k - 1 :])]
+
+
 def rolling_fingerprint(strings, window: int = 8) -> np.ndarray:
     """Document fingerprint: min of rolling FNV hashes over word
     ``window``-shingles (winnowing-style); uint64 per doc.  Stable
@@ -137,20 +157,9 @@ def rolling_fingerprint(strings, window: int = 8) -> np.ndarray:
     all_windows: list[str] = []
     counts = np.empty(n, dtype=np.int64)
     for i, s in enumerate(strings):
-        ws = s.split()
-        if len(ws) <= window:
-            all_windows.append(" ".join(ws))
-            counts[i] = 1
-            continue
-        ns = " ".join(ws)
-        lens = np.fromiter((len(w) for w in ws), dtype=np.int64, count=len(ws))
-        ends = np.cumsum(lens + 1) - 1  # word i ends at ns[ends[i]] (excl.)
-        starts = ends - lens
-        n_win = len(ws) - window + 1
-        s_off = starts[:n_win]
-        e_off = ends[window - 1 :]
-        all_windows.extend(ns[a:b] for a, b in zip(s_off, e_off))
-        counts[i] = n_win
+        wins = word_windows(s.split(), window) or [""]  # empty doc -> hash("")
+        all_windows.extend(wins)
+        counts[i] = len(wins)
     h = hash64_strings(all_windows)
     off = np.zeros(n, dtype=np.int64)
     np.cumsum(counts[:-1], out=off[1:])

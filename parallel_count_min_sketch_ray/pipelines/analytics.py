@@ -63,7 +63,15 @@ def _group_sum(tbl: pa.Table, keys: list[str]) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-_token_counts_cache: dict[str, "ray.data.Dataset"] = {}
+_token_counts_cache: dict[tuple, "ray.data.Dataset"] = {}
+
+
+def _cache_key(sf_dir: str) -> tuple:
+    # a materialized Dataset's blocks die with the Ray session — key on
+    # the job id so a shutdown/re-init recomputes instead of handing
+    # back refs into a dead cluster
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    return (sf_dir, job)
 
 
 def token_counts(sf_dir: str):
@@ -79,7 +87,8 @@ def token_counts(sf_dir: str):
     full scan+shuffle per view is the anti-pattern, reusing the
     materialized artifact is how a real pipeline shares it.
     """
-    cached = _token_counts_cache.get(sf_dir)
+    key = _cache_key(sf_dir)
+    cached = _token_counts_cache.get(key)
     if cached is not None:
         return cached
 
@@ -100,7 +109,7 @@ def token_counts(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .materialize()
     )
-    _token_counts_cache[sf_dir] = out
+    _token_counts_cache[key] = out
     return out
 
 
@@ -775,12 +784,10 @@ def orders_by_region(sf_dir: str):
     )
     n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
     r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    keys = cust["c_custkey"].to_numpy()
-    order = np.argsort(keys)
-    keys = np.ascontiguousarray(keys[order].astype(np.int64))
-    vals = np.array(
-        [r2name[n2r[int(nk)]] for nk in cust["c_nationkey"].to_numpy()[order]]
+    region_names = np.array(
+        [r2name[n2r[int(nk)]] for nk in cust["c_nationkey"].to_numpy()]
     ).astype(str)
+    keys, vals = _sorted_lookup(cust, "c_custkey", region_names)
     ref = ray.put((keys, vals))
 
     # task-based stage (not an actor pool): the broadcast arrays ride
@@ -827,10 +834,10 @@ def orders_by_segment(sf_dir: str):
     cust = pq_.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    keys = cust["c_custkey"].to_numpy()
-    order = np.argsort(keys)
-    keys = np.ascontiguousarray(keys[order].astype(np.int64))
-    vals = cust["c_mktsegment"].to_numpy(zero_copy_only=False)[order].astype(str)
+    keys, vals = _sorted_lookup(
+        cust, "c_custkey",
+        cust["c_mktsegment"].to_numpy(zero_copy_only=False).astype(str),
+    )
     lookup_ref = ray.put((keys, vals))
 
     # task-based broadcast-join stage (see orders_by_region note)

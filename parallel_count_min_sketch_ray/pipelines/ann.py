@@ -47,12 +47,10 @@ def load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]
 
 
 class _TopKScorer:
-    """map_batches task stage: holds the normalized query matrix
-    (resolved from the object store once, driver-side — it is tiny and
-    ships in the serialized function), emits per-batch top-k rows."""
+    """map_batches task stage: holds the normalized query matrix (tiny;
+    ships once in the serialized function), emits per-batch top-k rows."""
 
-    def __init__(self, qref, k: int):
-        qids, qmat = ray.get(qref)
+    def __init__(self, qids, qmat, k: int):
         self._qids = qids
         norms = np.linalg.norm(qmat, axis=1, keepdims=True)
         self._q = qmat / np.maximum(norms, 1e-30)
@@ -93,13 +91,12 @@ def ann_topk(sf_dir: str, k: int = 10, num_queries: int = 5) -> pd.DataFrame:
     """Exact cosine top-k: (query_id, vec_id, rank, sim), sim in f64,
     ties broken by vec_id ascending."""
     qids, qmat = load_queries(sf_dir, num_queries)
-    qref = ray.put((qids, qmat))
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # task-based stage: the scorer instance (tiny normalized query
     # matrix) serializes once into the function export; tasks reuse
     # warm workers instead of paying actor-pool process startup
     cands = ds.map_batches(
-        _TopKScorer(qref, k), batch_format="pyarrow", batch_size=65536
+        _TopKScorer(qids, qmat, k), batch_format="pyarrow", batch_size=65536
     ).to_pandas()
     # driver-side final merge of the (num_blocks × k) candidates
     cands["sim"] = cands["dot"] / np.maximum(cands["norm"], 1e-30)
@@ -147,11 +144,10 @@ def ann_lsh_topk(
     d = qmat.shape[1]
     planes = rng.standard_normal((num_planes, d))
     qbuckets = hyperplane_signatures(qmat, planes)
-    qref = ray.put((qids, qmat, planes, qbuckets))
 
     class BucketScorer:
-        def __init__(self, ref, k):
-            self._qids, qmat, self._planes, self._qb = ray.get(ref)
+        def __init__(self, qids_, qmat, planes_, qb, k):
+            self._qids, self._planes, self._qb = qids_, planes_, qb
             norms = np.linalg.norm(qmat, axis=1, keepdims=True)
             self._q = qmat / np.maximum(norms, 1e-30)
             self._k = k
@@ -183,7 +179,8 @@ def ann_lsh_topk(
 
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cands = ds.map_batches(
-        BucketScorer(qref, k), batch_format="pyarrow", batch_size=65536
+        BucketScorer(qids, qmat, planes, qbuckets, k),
+        batch_format="pyarrow", batch_size=65536,
     ).to_pandas()
     cands = cands.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True]
@@ -245,11 +242,10 @@ def ann_ivf_topk(
     cent = kmeans_centroids(sample, num_centroids, seed)
     qids, qmat = load_queries(sf_dir, num_queries)
     qprobes = np.argsort(_sq_dists(qmat, cent), axis=1)[:, :nprobe]
-    qref = ray.put((qids, qmat, cent, qprobes))
 
     class IVFScorer:
-        def __init__(self, ref, k):
-            self._qids, qmat, self._cent, self._qprobes = ray.get(ref)
+        def __init__(self, qids_, qmat, cent_, qprobes_, k):
+            self._qids, self._cent, self._qprobes = qids_, cent_, qprobes_
             norms = np.linalg.norm(qmat, axis=1, keepdims=True)
             self._q = qmat / np.maximum(norms, 1e-30)
             self._k = k
@@ -281,7 +277,8 @@ def ann_ivf_topk(
             )
 
     cands = read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        IVFScorer(qref, k), batch_format="pyarrow", batch_size=65536
+        IVFScorer(qids, qmat, cent, qprobes, k),
+        batch_format="pyarrow", batch_size=65536,
     ).to_pandas()
     cands = cands.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True]

@@ -47,24 +47,15 @@ def shingle_hashes(texts: list[str], k: int = 3) -> list[np.ndarray]:
     batch hashes in ONE (chunked) :func:`hash64_strings` call, and
     per-doc dedup is a numpy ``unique`` over each doc's hash segment.
     Identical output to hashing :func:`word_shingles` per doc."""
+    from parallel_count_min_sketch_ray.functions.textops import word_windows
+
     n = len(texts)
     counts = np.zeros(n, dtype=np.int64)
     all_windows: list[str] = []
     for i, s in enumerate(texts):
-        ws = s.split()
-        if not ws:
-            continue
-        if len(ws) < k:
-            all_windows.append(" ".join(ws))
-            counts[i] = 1
-            continue
-        ns = " ".join(ws)
-        lens = np.fromiter((len(w) for w in ws), dtype=np.int64, count=len(ws))
-        ends = np.cumsum(lens + 1) - 1
-        starts = ends - lens
-        n_win = len(ws) - k + 1
-        all_windows.extend(ns[a:b] for a, b in zip(starts[:n_win], ends[k - 1 :]))
-        counts[i] = n_win
+        wins = word_windows(s.split(), k)
+        all_windows.extend(wins)
+        counts[i] = len(wins)
     h = hash64_strings(all_windows)
     off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=off[1:])
@@ -141,13 +132,14 @@ class _CandidateShingler:
     """map_batches verify stage: re-shingle ONLY the candidate docs.
 
     The candidate id set is small, so it ships once inside the
-    serialized task function; each batch keeps only its candidate rows
+    serialized task function (no object-store round-trip needed);
+    each batch keeps only its candidate rows
     via a sorted-array membership test, so the full corpus streams
     through workers and only candidates' shingle sets leave the stage.
     """
 
-    def __init__(self, need_ref, shingle_k: int):
-        self._need = np.sort(np.asarray(ray.get(need_ref), dtype=np.int64))
+    def __init__(self, need_ids: np.ndarray, shingle_k: int):
+        self._need = np.sort(np.asarray(need_ids, dtype=np.int64))
         self._k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -219,11 +211,10 @@ def minhash_lsh_pairs(
     # distributed verify: broadcast the candidate id set, re-shingle
     # candidates inside the scan, gather only |candidates| shingle sets
     need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
-    need_ref = ray.put(need)
     rows = (
         read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(
-            _CandidateShingler(need_ref, shingle_k), batch_format="pyarrow"
+            _CandidateShingler(need, shingle_k), batch_format="pyarrow"
         )
         .take_all()
     )

@@ -177,6 +177,16 @@ class CheckpointStore:
         """Bind this ckpt_dir to one build configuration (fail fast on
         reuse with different specs — see :func:`spec_fingerprint`)."""
         path = os.path.join(self.root, self.MANIFEST)
+        if not os.path.exists(path) and self.completed():
+            # partials exist but no manifest (pre-manifest build, crashed
+            # writer, or a concurrent builder) — adopting them under the
+            # CURRENT fingerprint is exactly the stale-merge hazard the
+            # manifest exists to prevent
+            raise ValueError(
+                f"checkpoint dir {self.root!r} contains partials but no "
+                f"manifest; cannot verify they match the current spec "
+                f"configuration — use a fresh ckpt_dir or delete it"
+            )
         if os.path.exists(path):
             with open(path) as f:
                 existing = json.load(f)["spec_fingerprint"]
@@ -318,16 +328,14 @@ def build_sketches_checkpointed(
     t0 = time.perf_counter()
     specs = list(specs)
     store = CheckpointStore(ckpt_dir)
-    store.check_or_write_manifest(spec_fingerprint(specs, rows_per_partition))
+    fingerprint = spec_fingerprint(specs, rows_per_partition)
+    store.check_or_write_manifest(fingerprint)
     parts = plan_partitions(paths, rows_per_partition)
     resumed = sum(1 for p in parts if store.is_done(p["partition_id"]))
     columns = sorted({s.column for s in specs})
 
     control = ray.data.from_items(parts)
-    builder = _BuildPartition(
-        tuple(specs), ckpt_dir, columns,
-        spec_fingerprint(specs, rows_per_partition),
-    )
+    builder = _BuildPartition(tuple(specs), ckpt_dir, columns, fingerprint)
     kwargs = {"batch_size": 1, "batch_format": "numpy"}
     if concurrency is not None:
         kwargs["concurrency"] = concurrency

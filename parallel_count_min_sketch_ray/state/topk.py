@@ -25,10 +25,11 @@ from parallel_count_min_sketch_ray.state import base
 
 def _group_sum(inv: np.ndarray, weights: np.ndarray) -> np.ndarray:
     """Exact int64 segment sum: bincount's float64 weights are exact
-    below 2**53 per cell; fall back to np.add.at for huge counters."""
+    only while the TOTAL stays below 2**53 (a per-key sum is bounded by
+    the grand total); fall back to np.add.at above that."""
     if weights.size == 0:
         return np.zeros(0, dtype=np.int64)
-    if int(weights.max()) <= (1 << 31):
+    if int(weights.sum()) < (1 << 53):
         return np.bincount(inv, weights=weights).astype(np.int64)
     out = np.zeros(int(inv.max()) + 1, dtype=np.int64)
     np.add.at(out, inv, weights)

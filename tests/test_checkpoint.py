@@ -55,9 +55,16 @@ def test_resume_after_partial_run(ray_session, tokens_fixture, specs, tmp_path):
     k = len(parts) // 2
     assert k >= 1
 
-    # "first run" that dies after k partitions: build them directly
-    from parallel_count_min_sketch_ray.state.checkpoint import _BuildPartition
+    # "first run" that dies after k partitions: a real run writes the
+    # manifest BEFORE any partition, so the crash leaves manifest + k
+    # partials (a manifest-less dir with partials is refused — see
+    # test_manifestless_dir_with_partials_refused)
+    from parallel_count_min_sketch_ray.state.checkpoint import (
+        _BuildPartition,
+        spec_fingerprint,
+    )
 
+    CheckpointStore(ckpt).check_or_write_manifest(spec_fingerprint(specs, 300))
     builder = _BuildPartition(tuple(specs), ckpt, ["tokens"])
     batch = {key: np.array([p[key] for p in parts[:k]]) for key in parts[0]}
     builder(batch)
@@ -130,3 +137,21 @@ def test_lineage_records_carry_fingerprint(
     for p in store.completed():
         assert store.read_lineage(p)["spec_fingerprint"] == fp
     assert rep.partitions_total == len(store.completed())
+
+
+def test_manifestless_dir_with_partials_refused(
+    ray_session, tokens_fixture, specs, tmp_path
+):
+    """Partials without a manifest (pre-manifest build or crashed
+    writer) must NOT be silently adopted under the current specs."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt_orphan")
+    build_sketches_checkpointed(
+        tokens_fixture["paths"], specs, ckpt, rows_per_partition=300
+    )
+    os.remove(os.path.join(ckpt, CheckpointStore.MANIFEST))
+    with pytest.raises(ValueError, match="no[ \n]*manifest"):
+        build_sketches_checkpointed(
+            tokens_fixture["paths"], specs, ckpt, rows_per_partition=300
+        )

@@ -170,3 +170,25 @@ def test_direct_build_matches_dataset_path(fixture_ds):
     )
     assert rep["cms"] == via_ds
     assert rep.rows == fx["num_rows"]
+
+
+def test_weighted_build_from_counts_equals_stream_build(ray_session):
+    """Building a CMS from the aggregated (token, count) table with
+    weighted updates must be bit-identical to building it from the raw
+    token stream — integer bincount weights are exact and the hash
+    family is shared (the 'pre-aggregated ingest' path a pipeline uses
+    when the vocabulary table already exists)."""
+    from parallel_count_min_sketch_ray.functions.hashing import djb2_array
+    from parallel_count_min_sketch_ray.pipelines.analytics import token_counts
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import build_all
+    from parallel_count_min_sketch_ray.state.cms import CountMinSketch
+
+    sf = "/root/testdata/sf0.001"
+    stream_cms = build_all(sf)["cms"]
+    vocab = token_counts(sf).to_pandas()
+    ids = (
+        djb2_array(vocab["token"].tolist()) & np.uint64(0x7FFFFFFF)
+    ).astype(np.int64)
+    weighted = CountMinSketch(eps=0.001, delta=0.1, seed=42)
+    weighted.update(ids, vocab["cnt"].to_numpy())
+    assert weighted == stream_cms

@@ -30,9 +30,23 @@ from parallel_count_min_sketch_ray.state.kll import KLLSketch
 SEED = 42
 
 
+_tokenized_cache: dict[tuple, object] = {}
+
+
 def tokenized_documents(sf_dir: str):
     """documents → (doc_id, tokens:list<int32>, n_tok, source): the
-    input_hint shape, derived deterministically from text."""
+    input_hint shape, derived deterministically from text.
+
+    Memoized materialized per (sf_dir, Ray job) — five sketch queries
+    start from this table; re-tokenizing the corpus per query is the
+    anti-pattern (same policy as ``analytics.token_counts``)."""
+    import ray as _ray
+
+    job = _ray.get_runtime_context().get_job_id() if _ray.is_initialized() else None
+    key = (sf_dir, job)
+    cached = _tokenized_cache.get(key)
+    if cached is not None:
+        return cached
 
     def tokenize(batch: pa.Table) -> pa.Table:
         toks, flat = textops.tokens_int32_from_text(batch["text"])
@@ -42,9 +56,13 @@ def tokenized_documents(sf_dir: str):
             names=["doc_id", "tokens", "n_tok", "source"],
         )
 
-    return read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
-        tokenize, batch_format="pyarrow"
+    out = (
+        read(sf_dir, "documents", ["doc_id", "text", "source"])
+        .map_batches(tokenize, batch_format="pyarrow")
+        .materialize()
     )
+    _tokenized_cache[key] = out
+    return out
 
 
 def _num_docs(sf_dir: str) -> int:

@@ -188,3 +188,111 @@ def frame_sample_pipeline(ds, *, frames_per_video: int = 4, batch_size: int = 64
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeStage:
+    """Actor-pool stage: decoded pixel payload -> fixed (out_w, out_h)
+    thumbnail payload + metadata.
+
+    The interpolation kernel is the stubbed part (no codec/imaging
+    library in this container): strict mode raises; the default is a
+    deterministic nearest-neighbor downsample over the fake-decoded
+    pixel grid, so batch plumbing (binary in -> smaller binary out,
+    metadata rewrite, small-batch discipline) is fully exercised.
+    """
+
+    def __init__(self, out_w: int = 32, out_h: int = 32, strict: bool = False):
+        self._w, self._h = int(out_w), int(out_h)
+        self._strict = strict
+
+    def _resize(self, payload: bytes, width: int, height: int) -> bytes:
+        if self._strict:
+            raise NotImplementedError(
+                "image resize requires an imaging library (PIL/cv2) not "
+                "present in this container; run with strict=False for the "
+                "deterministic nearest-neighbor stub"
+            )
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        side = max(int(np.sqrt(raw.size)), 1)
+        grid = np.resize(raw, side * side).reshape(side, side)
+        yi = np.linspace(0, side - 1, self._h).astype(np.int64)
+        xi = np.linspace(0, side - 1, self._w).astype(np.int64)
+        return grid[np.ix_(yi, xi)].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        widths = batch["width"].to_numpy(zero_copy_only=False)
+        heights = batch["height"].to_numpy(zero_copy_only=False)
+        out = [self._resize(p, int(w), int(h))
+               for p, w, h in zip(payloads, widths, heights)]
+        n = len(out)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out, pa.binary()),
+                "mime": batch["mime"],
+                "width": pa.array(np.full(n, self._w, dtype=np.int32)),
+                "height": pa.array(np.full(n, self._h, dtype=np.int32)),
+            }
+        )
+
+
+class AudioWindowStage:
+    """Actor-pool stage: audio payload -> per-window RMS-style features
+    (the shape of an audio feature-extract pipeline: one row per fixed
+    window, like FrameSampleStage's one row per sampled frame).
+
+    Decode is the stub (payload bytes ARE the fake PCM stream); the
+    windowing, per-window reduction and row-explosion plumbing are
+    real.
+    """
+
+    def __init__(self, window_bytes: int = 1024, max_windows: int = 8):
+        self._w = int(window_bytes)
+        self._max = int(max_windows)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_id, out_win, out_rms, out_peak = [], [], [], []
+        for mid, p in zip(ids, payloads):
+            raw = np.frombuffer(p, dtype=np.uint8).astype(np.float64) - 128.0
+            n_win = min(self._max, max(1, raw.size // self._w))
+            for wi in range(n_win):
+                seg = raw[wi * self._w : (wi + 1) * self._w]
+                out_id.append(int(mid))
+                out_win.append(wi)
+                out_rms.append(float(np.sqrt((seg**2).mean())) if seg.size else 0.0)
+                out_peak.append(float(np.abs(seg).max()) if seg.size else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "window": pa.array(out_win, pa.int64()),
+                "rms": pa.array(out_rms, pa.float64()),
+                "peak": pa.array(out_peak, pa.float64()),
+            }
+        )
+
+
+def resize_pipeline(ds, *, out_w: int = 32, out_h: int = 32, batch_size: int = 64,
+                    concurrency=(1, 4), strict: bool = False):
+    """media table -> resized media table (same schema, smaller payloads)."""
+    return ds.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def audio_window_pipeline(ds, *, window_bytes: int = 1024, batch_size: int = 64,
+                          concurrency=(1, 4)):
+    """media table -> (media_id, window, rms, peak) feature rows."""
+    return ds.map_batches(
+        AudioWindowStage,
+        fn_constructor_kwargs={"window_bytes": window_bytes},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

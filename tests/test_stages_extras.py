@@ -181,3 +181,44 @@ def test_plan_partitions_distinct_for_same_basename(tmp_path):
     )
     assert len(parts) == 2
     assert len({p["partition_id"] for p in parts}) == 2
+
+
+def test_multimodal_resize_stage(ray_session):
+    """Resize plumbing: binary in -> fixed-size binary out, metadata
+    rewritten; strict mode raises the honest no-codec error."""
+    import ray.data
+
+    from parallel_count_min_sketch_ray.pipelines.multimodal import (
+        ResizeStage,
+        resize_pipeline,
+        synthesize_media_table,
+    )
+
+    media = ray.data.from_arrow(synthesize_media_table(32, seed=1))
+    out = resize_pipeline(media, out_w=16, out_h=16, batch_size=8).take_all()
+    assert len(out) == 32
+    assert all(len(r["payload"]) == 16 * 16 for r in out)
+    assert all(r["width"] == 16 and r["height"] == 16 for r in out)
+    # deterministic: same seed -> same thumbnails
+    out2 = resize_pipeline(
+        ray.data.from_arrow(synthesize_media_table(32, seed=1)),
+        out_w=16, out_h=16, batch_size=8,
+    ).take_all()
+    assert [r["payload"] for r in sorted(out, key=lambda r: r["media_id"])] == [
+        r["payload"] for r in sorted(out2, key=lambda r: r["media_id"])
+    ]
+    with pytest.raises(NotImplementedError, match="resize requires"):
+        ResizeStage(strict=True)._resize(b"xx", 2, 1)
+
+
+def test_multimodal_audio_windows(ray_session):
+    from parallel_count_min_sketch_ray.pipelines.multimodal import (
+        audio_window_pipeline,
+        synthesize_media_table,
+    )
+    import ray.data
+
+    media = ray.data.from_arrow(synthesize_media_table(16, seed=2))
+    rows = audio_window_pipeline(media, window_bytes=512, batch_size=8).take_all()
+    assert len(rows) > 16  # exploded: multiple windows per clip
+    assert all(r["rms"] >= 0.0 and r["peak"] >= r["rms"] for r in rows)

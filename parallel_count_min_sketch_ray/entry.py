@@ -22,6 +22,12 @@ from parallel_count_min_sketch_ray.pipelines import (
 )
 
 
+def _corpus_write_lineage(sf_dir: str):
+    from parallel_count_min_sketch_ray.pipelines.io import corpus_write_lineage
+
+    return corpus_write_lineage(sf_dir)
+
+
 def _media_decode_stats(sf_dir: str):
     from parallel_count_min_sketch_ray.pipelines.multimodal import media_decode_stats
 
@@ -96,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_distinct_tokens": sketch_queries.source_distinct_tokens,
         "source_ntok_quantiles": sketch_queries.source_ntok_quantiles,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
+        "corpus_write_lineage": _corpus_write_lineage,
         # --- near-dup / text analysis ---
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (LSH recall)
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # SQL-checked

@@ -222,3 +222,13 @@ def test_multimodal_audio_windows(ray_session):
     rows = audio_window_pipeline(media, window_bytes=512, batch_size=8).take_all()
     assert len(rows) > 16  # exploded: multiple windows per clip
     assert all(r["rms"] >= 0.0 and r["peak"] >= r["rms"] for r in rows)
+
+
+def test_corpus_write_lineage_resumes(ray_session, tmp_path):
+    from parallel_count_min_sketch_ray.pipelines.io import corpus_write_lineage
+
+    out_root = str(tmp_path / "writes")
+    first = corpus_write_lineage("/root/testdata/sf0.001", out_root=out_root)
+    assert first["rows"].sum() > 0 and (first["bytes"] > 0).all()
+    again = corpus_write_lineage("/root/testdata/sf0.001", out_root=out_root)
+    assert first.equals(again)  # rerun skips completed partitions

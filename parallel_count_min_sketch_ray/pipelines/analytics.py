@@ -391,8 +391,28 @@ def events_lag(sf_dir: str):
     )
 
 
+def _pick_types(left_type: str, right_type: str, num_buckets: int):
+    """Filter to the two participating event types and add the coarse
+    shuffle key ``user_id % num_buckets`` — FEW large groups instead of
+    one group per user, so the in-group merge stays vectorized at any
+    user cardinality (millions of per-tiny-group calls is the
+    map_groups failure mode at scale)."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        out = batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array([left_type, right_type]))
+        )
+        bucket = out["user_id"].to_numpy(zero_copy_only=False) % np.int64(num_buckets)
+        return out.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    return pick
+
+
 def events_asof_join(
-    sf_dir: str, left_type: str = "click", right_type: str = "purchase"
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    num_buckets: int = 64,
 ):
     """As-of join — the canonical custom operator Ray Data lacks
     (SURVEY.md §2.4 custom-operator rule): each ``left_type`` event is
@@ -400,45 +420,54 @@ def events_asof_join(
     ``r.ts <= l.ts`` (DuckDB ``ASOF LEFT JOIN`` semantics; unmatched →
     -1 sentinels).
 
-    Partitioning assumption (documented per the custom-operator rule):
-    both sides co-locate per user via one ``groupby(user_id)`` — the
-    same single shuffle an equality join would need; within the group
-    the match is a vectorized ``searchsorted`` on the sorted right
-    timestamps, O((L+R) log R) per user.  The input scan filters to
-    the two event types before the shuffle, so the exchange carries
-    only participating rows.
+    Partitioning: ONE shuffle on ``user_id % num_buckets`` co-locates
+    both (pre-filtered) sides; inside each bucket the match is the
+    vectorized merge over ALL its users at once — lexsort by (user,
+    ts, side) with rights ordered before lefts at equal ts, a running
+    ``maximum.accumulate`` of right-row indices, and a same-user guard
+    (the carried index can only cross a user boundary when the current
+    user has no earlier right event).  O((L+R) log (L+R)) per bucket
+    with no per-user Python — exact for ties because equal-(user, ts)
+    rights sort by event_id and the accumulate keeps the last.
     """
 
-    def pick(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.is_in(batch["event_type"], value_set=pa.array([left_type, right_type]))
-        )
-
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == left_type]
-        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
-        lts = left["ts"].astype("int64").to_numpy()
-        rts = right["ts"].astype("int64").to_numpy()
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        found = idx >= 0
-        safe = np.clip(idx, 0, None)
-        rvals = right["value"].to_numpy()
-        pv = np.where(found, rvals[safe] if rts.size else -1.0, -1.0)
-        dus = np.where(found, lts - (rts[safe] if rts.size else 0), -1)
+        is_right = (g["event_type"] == right_type).to_numpy()
+        is_left = (g["event_type"] == left_type).to_numpy()
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        side = np.where(is_right, 0, 1)  # right before left at equal ts
+        order = np.lexsort((eid, side, ts, user))
+        user_s, ts_s, val_s, eid_s = user[order], ts[order], val[order], eid[order]
+        right_s, left_s = is_right[order], is_left[order]
+        idx = np.arange(order.size)
+        last = np.maximum.accumulate(np.where(right_s, idx, -1))
+        lpos = np.nonzero(left_s)[0]
+        j = last[lpos]
+        jc = np.clip(j, 0, None)
+        valid = (j >= 0) & (user_s[jc] == user_s[lpos])
         return pd.DataFrame(
             {
-                "event_id": left["event_id"].to_numpy(),
-                "user_id": left["user_id"].to_numpy(),
-                "value": left["value"].to_numpy(),
-                "prev_purchase_value": pv.astype(np.float64),
-                "us_since_purchase": dus.astype(np.int64),
+                "event_id": eid_s[lpos],
+                "user_id": user_s[lpos],
+                "value": val_s[lpos],
+                "prev_purchase_value": np.where(valid, val_s[jc], -1.0).astype(
+                    np.float64
+                ),
+                "us_since_purchase": np.where(
+                    valid, ts_s[lpos] - ts_s[jc], -1
+                ).astype(np.int64),
             }
         )
 
     return (
         read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-        .map_batches(pick, batch_format="pyarrow")
-        .groupby("user_id")
+        .map_batches(
+            _pick_types(left_type, right_type, num_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
         .map_groups(asof, batch_format="pandas")
     )
 
@@ -448,44 +477,57 @@ def events_range_join(
     left_type: str = "error",
     right_type: str = "click",
     window_us: int = 600_000_000,
+    num_buckets: int = 64,
 ):
     """Range (interval) join — second custom operator of the SURVEY
     §2.4 family: for each ``left_type`` event, the count of
     ``right_type`` events of the same user with ``l.ts - window <=
     r.ts <= l.ts``.
 
-    Same partitioning contract as :func:`events_asof_join`: one
-    ``groupby(user_id)`` co-locates both (pre-filtered) sides; the
-    in-group interval count is two vectorized ``searchsorted`` calls
-    over the sorted right timestamps — O((L+R) log R) per user, never
-    the O(L·R) pair expansion an inequality join naively implies.
+    Same partitioning as :func:`events_asof_join`: one coarse-bucket
+    shuffle; inside each bucket the interval count runs vectorized over
+    ALL its users at once via paired window probes — each left event
+    contributes a probe row at ``ts - window``, everything lexsorts by
+    (user, ts, kind) with kind ordering probe < right < left (both
+    window boundaries inclusive), and the count is the difference of
+    the running right-event prefix count at the left row vs its probe
+    row.  The probe and its left share a user, so every right between
+    them in the user-major sort is in-window by construction — no
+    per-user segmentation, no O(L·R) pair expansion.
     """
 
-    def pick(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.is_in(batch["event_type"], value_set=pa.array([left_type, right_type]))
-        )
-
     def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == left_type]
-        rts = np.sort(
-            g.loc[g["event_type"] == right_type, "ts"].astype("int64").to_numpy()
-        )
-        lts = left["ts"].astype("int64").to_numpy()
-        hi = np.searchsorted(rts, lts, side="right")
-        lo = np.searchsorted(rts, lts - window_us, side="left")
+        is_right = (g["event_type"] == right_type).to_numpy()
+        is_left = (g["event_type"] == left_type).to_numpy()
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        lsel = np.nonzero(is_left)[0]
+        n, nl = user.size, lsel.size
+        # base rows: kind right=1 / left=2; probe rows: kind 0 at ts-w
+        kind = np.where(is_right, 1, 2)
+        all_user = np.concatenate([user, user[lsel]])
+        all_ts = np.concatenate([ts, ts[lsel] - window_us])
+        all_kind = np.concatenate([kind, np.zeros(nl, dtype=np.int64)])
+        order = np.lexsort((all_kind, all_ts, all_user))
+        inv = np.empty(order.size, dtype=np.int64)
+        inv[order] = np.arange(order.size)
+        cum = np.cumsum(all_kind[order] == 1)  # rights up to & incl. position
+        counts = cum[inv[lsel]] - cum[inv[n + np.arange(nl)]]
         return pd.DataFrame(
             {
-                "event_id": left["event_id"].to_numpy(),
-                "user_id": left["user_id"].to_numpy(),
-                "n_right_in_window": (hi - lo).astype(np.int64),
+                "event_id": eid[lsel],
+                "user_id": user[lsel],
+                "n_right_in_window": counts.astype(np.int64),
             }
         )
 
     return (
         read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-        .map_batches(pick, batch_format="pyarrow")
-        .groupby("user_id")
+        .map_batches(
+            _pick_types(left_type, right_type, num_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
         .map_groups(count_in_window, batch_format="pandas")
     )
 

@@ -503,3 +503,63 @@ def test_distributed_accuracy_report_matches_driver_side(ray_session):
     ids = np.array([djb2(w) & 0x7FFFFFFF for w in oracle["token"]], dtype=np.int64)
     mem = validate_cms(cms, ids, oracle["cnt"].to_numpy(), strict=True)
     assert dist.as_dict() == mem.as_dict()
+
+
+def test_asof_range_vectorized_match_per_user_reference(ray_session, tmp_path):
+    """The bucket-vectorized as-of / interval merges must agree with
+    straightforward per-user searchsorted references on a randomized
+    corpus (many users per bucket, duplicate timestamps, empty sides)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        events_asof_join,
+        events_range_join,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    ts = rng.integers(0, 5_000_000, size=n) * 1000  # deliberate ts ties
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 200, size=n), pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["click", "purchase", "error", "view"], size=n)
+            ),
+            "value": pa.array(np.round(rng.random(n) * 99, 2), pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    df = t.to_pandas()
+    df["tsi"] = df["ts"].astype("int64")
+
+    # reference: per-user sorted searchsorted
+    want_asof = {}
+    want_range = {}
+    for uid, g in df.groupby("user_id"):
+        right = g[g["event_type"] == "purchase"].sort_values(["tsi", "event_id"])
+        rts = right["tsi"].to_numpy()
+        for _, l in g[g["event_type"] == "click"].iterrows():
+            i = np.searchsorted(rts, l["tsi"], side="right") - 1
+            want_asof[int(l["event_id"])] = (
+                (float(right["value"].to_numpy()[i]), int(l["tsi"] - rts[i]))
+                if i >= 0
+                else (-1.0, -1)
+            )
+        crts = np.sort(g.loc[g["event_type"] == "click", "tsi"].to_numpy())
+        for _, l in g[g["event_type"] == "error"].iterrows():
+            hi = np.searchsorted(crts, l["tsi"], side="right")
+            lo = np.searchsorted(crts, l["tsi"] - 600_000_000, side="left")
+            want_range[int(l["event_id"])] = int(hi - lo)
+
+    got_a = events_asof_join(str(tmp_path)).to_pandas()
+    assert len(got_a) == len(want_asof)
+    for r in got_a.itertuples():
+        assert (r.prev_purchase_value, r.us_since_purchase) == want_asof[r.event_id]
+    got_r = events_range_join(str(tmp_path)).to_pandas()
+    assert len(got_r) == len(want_range)
+    for r in got_r.itertuples():
+        assert r.n_right_in_window == want_range[r.event_id]

@@ -280,26 +280,46 @@ def events_sessions(sf_dir: str, gap_us: int = 1_800_000_000):
     """Sessionization: per user, sessions split at >30-minute gaps.
 
     Partitioning assumption (documented per SURVEY.md custom-operator
-    rule): all events of one user co-locate via ``groupby(user_id)``;
-    within the group pandas sorts by ts — integer-microsecond gap
-    compare, so the result is exact.
+    rule): all events of one user co-locate via the coarse-bucket
+    shuffle (``user_id % 64`` — few large groups, vectorized over all
+    the bucket's users); integer-microsecond gap compare, so the
+    result is exact.
     """
 
+    def bucketed(batch: pa.Table) -> pa.Table:
+        bucket = batch["user_id"].to_numpy(zero_copy_only=False) % np.int64(64)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("int64").sort_values().to_numpy()
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > gap_us).sum())
+        # vectorized over ALL the bucket's users: user-major time sort,
+        # a session break is a same-user gap > gap_us; per-user rollup
+        # is one pandas groupby (no per-user Python calls)
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        order = np.lexsort((ts, user))
+        user_s, ts_s = user[order], ts[order]
+        same_user = np.zeros(user_s.size, dtype=bool)
+        same_user[1:] = user_s[1:] == user_s[:-1]
+        brk = np.zeros(user_s.size, dtype=np.int64)
+        brk[1:] = (np.diff(ts_s) > gap_us).astype(np.int64)
+        brk &= same_user  # gaps across user boundaries are not breaks
+        out = (
+            pd.DataFrame({"user_id": user_s, "brk": brk, "n": 1})
+            .groupby("user_id", as_index=False)
+            .sum()
+        )
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
+                "user_id": out["user_id"].astype(np.int64),
+                "n_events": out["n"].astype(np.int64),
+                "n_sessions": (out["brk"] + 1).astype(np.int64),
             }
         )
 
     return (
         read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(sessions, batch_format="pandas")
     )
 
@@ -368,25 +388,41 @@ def events_lag(sf_dir: str):
     """Per-user ordered window: each event with the previous event's
     value (lag) for the same user — the sorted-partition pattern every
     as-of / window operator reduces to.  Partitioning assumption: one
-    user's events co-locate via groupby(user_id); ordering by (ts,
-    event_id) inside the group makes the result exact and deterministic.
+    user's events co-locate via the coarse-bucket shuffle (user_id %
+    64); the user-major (ts, event_id) sort inside the bucket makes
+    the result exact and deterministic with no per-user Python.
     """
 
+    def bucketed(batch: pa.Table) -> pa.Table:
+        bucket = batch["user_id"].to_numpy(zero_copy_only=False) % np.int64(64)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
     def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        prev = g["value"].shift(1)
+        # vectorized over the whole bucket: user-major (ts, event_id)
+        # sort; prev = shifted value masked at user boundaries
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        user_s, eid_s, val_s = user[order], eid[order], val[order]
+        prev = np.empty(val_s.size, dtype=np.float64)
+        if prev.size:
+            prev[0] = -1.0
+            prev[1:] = np.where(user_s[1:] == user_s[:-1], val_s[:-1], -1.0)
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "value": g["value"].to_numpy(),
-                "prev_value": prev.fillna(-1.0).to_numpy(),
+                "event_id": eid_s,
+                "user_id": user_s,
+                "value": val_s,
+                "prev_value": prev,
             }
         )
 
     return (
         read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-        .groupby("user_id")
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(lag, batch_format="pandas")
     )
 

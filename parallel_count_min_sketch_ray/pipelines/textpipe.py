@@ -110,14 +110,21 @@ def clean_corpus(sf_dir: str):
         dg = textops.md5_digests(texts)
         ids = kept["doc_id"].to_numpy(zero_copy_only=False)
         nw = m["n_words"][keep]
-        langs = kept["lang"].to_pylist()
-        srcs = kept["source"].to_pylist()
-        packed = [
-            f"{i:020d}|{n}|{l}|{s}" for i, n, l, s in zip(ids, nw, langs, srcs)
-        ]
+        # vectorized packing: zero-padded id | n_words | lang | source
+        id_str = pc.utf8_lpad(
+            pc.cast(pa.array(ids), pa.string()), width=20, padding="0"
+        )
+        packed = pc.binary_join_element_wise(
+            id_str,
+            pc.cast(pa.array(nw), pa.string()),
+            kept["lang"].combine_chunks()
+            if isinstance(kept["lang"], pa.ChunkedArray) else kept["lang"],
+            kept["source"].combine_chunks()
+            if isinstance(kept["source"], pa.ChunkedArray) else kept["source"],
+            "|",
+        )
         return pa.table(
-            {"digest": pa.array(dg, pa.string()),
-             "packed": pa.array(packed, pa.string())}
+            {"digest": pa.array(dg, pa.string()), "packed": packed}
         )
 
     reps = (

@@ -305,3 +305,29 @@ def source_ntok_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["source", "n_docs", "p50", "p90", "p99"]
     )
+
+
+def doc_sample_kmv(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """Deterministic uniform sample of document ids via the mergeable
+    bottom-k (KMV) sketch — ONE streaming pass, order- and
+    partitioning-independent (bit-exact across merges), plus the KMV
+    distinct-count estimate the same state yields for free.
+
+    At 100 TB this is "sample k docs uniformly from the corpus" with
+    a fixed 2k-word exchange per block — no shuffle, no count pass.
+    """
+    from parallel_count_min_sketch_ray.state.kmv import BottomKSketch
+
+    ds = tokenized_documents(sf_dir)
+    rep = build_sketches(
+        ds, [SketchSpec("kmv", BottomKSketch(k=k, seed=SEED), "doc_id", kind="numeric")]
+    )
+    sk = rep["kmv"]
+    sample = np.sort(sk.sample())
+    return pd.DataFrame(
+        {
+            "doc_id": sample.astype(np.int64),
+            "distinct_estimate": np.float64(sk.estimate_distinct()),
+            "rel_error_bound": np.float64(sk.relative_error()),
+        }
+    )

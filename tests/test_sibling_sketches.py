@@ -315,3 +315,56 @@ def test_describe_all_sketches():
     verbose = cms.describe(verbose=True)
     assert "hash[0]" in verbose
     assert len(verbose.splitlines()) > 10  # includes the cell dump rows
+
+
+def test_kmv_merge_is_bottom_k_of_union_bit_exact():
+    """Any split of the stream merges to the identical sketch (no
+    randomness beyond the key hash -> bitwise order-independence)."""
+    from parallel_count_min_sketch_ray.state.kmv import BottomKSketch
+
+    rng = np.random.default_rng(3)
+    items = rng.integers(0, 500_000, size=30_000)
+    whole = BottomKSketch(k=256, seed=9)
+    whole.update(items)
+    for cut in (1, 1000, 15_000, 29_999):
+        a, b = BottomKSketch(k=256, seed=9), BottomKSketch(k=256, seed=9)
+        a.update(items[:cut])
+        b.update(items[cut:])
+        merged = a.merge(b)
+        assert merged == whole
+        assert merged.n == whole.n == items.size
+
+
+def test_kmv_distinct_estimate_and_sample_properties():
+    from parallel_count_min_sketch_ray.state.kmv import BottomKSketch
+    from parallel_count_min_sketch_ray.state.base import sketch_from_bytes
+
+    rng = np.random.default_rng(4)
+    true_distinct = 20_000
+    keys = np.arange(true_distinct)
+    stream = rng.choice(keys, size=100_000)  # heavy duplication
+    sk = BottomKSketch(k=1024, seed=1)
+    sk.update(stream)
+    est = sk.estimate_distinct()
+    # 4 sigma of the 1/sqrt(k-2) relative stderr
+    assert abs(est - true_distinct) / true_distinct <= 4 * sk.relative_error()
+    # the sample holds k distinct true keys, unaffected by multiplicity
+    sample = sk.sample()
+    assert sample.size == 1024 == np.unique(sample).size
+    assert np.isin(sample, keys).all()
+    # duplication-invariance: the stream's distinct-key set alone gives
+    # the SAME sample (multiplicity cannot affect bottom-k)
+    sk2 = BottomKSketch(k=1024, seed=1)
+    sk2.update(np.unique(stream))
+    assert np.array_equal(np.sort(sample), np.sort(sk2.sample()))
+    # serde round-trip
+    assert sketch_from_bytes(sk.to_bytes()) == sk
+    # under-full sketch reports the exact count
+    small = BottomKSketch(k=1024, seed=1)
+    small.update(np.arange(10))
+    assert small.estimate_distinct() == 10.0
+    assert "distinct estimate" in sk.describe()
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        BottomKSketch(k=2)

@@ -92,7 +92,7 @@ def run_headline(num_cpus: int) -> dict:
             # faster than 32768 at 32 CPUs (0.81s vs 0.92s median,
             # interleaved head-to-head) — smaller decoded slices keep
             # the per-task working set cache-resident
-            batch_size=16384,
+            batch_size=int(os.environ.get("GRAFT_BENCH_BATCH", "16384")),
             combine_fanin=64,
             combine_levels=1,
         )

@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray
 
 from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
+from parallel_count_min_sketch_ray.functions.textops import word_windows
 from parallel_count_min_sketch_ray.pipelines.analytics import read
 from parallel_count_min_sketch_ray.state.minhash import minhash_matrix, perm_params
 
@@ -47,8 +48,6 @@ def shingle_hashes(texts: list[str], k: int = 3) -> list[np.ndarray]:
     batch hashes in ONE (chunked) :func:`hash64_strings` call, and
     per-doc dedup is a numpy ``unique`` over each doc's hash segment.
     Identical output to hashing :func:`word_shingles` per doc."""
-    from parallel_count_min_sketch_ray.functions.textops import word_windows
-
     n = len(texts)
     counts = np.zeros(n, dtype=np.int64)
     all_windows: list[str] = []

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from parallel_count_min_sketch_ray.functions.hashing import splitmix64
+from parallel_count_min_sketch_ray.functions.hashing import hash64_strings, splitmix64
 from parallel_count_min_sketch_ray.pipelines.sketch_build import SketchSpec
 from parallel_count_min_sketch_ray.state.base import sketch_from_bytes
 
@@ -45,8 +45,6 @@ def add_salted_key(
         if pa.types.is_integer(basis.type):
             h = splitmix64(basis.to_numpy(zero_copy_only=False).astype(np.uint64))
         else:
-            from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
-
             h = hash64_strings(basis.to_pylist())
         salts = (h % np.uint64(num_salts)).astype(np.int64)
         salted = pc.binary_join_element_wise(

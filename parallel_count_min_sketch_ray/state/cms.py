@@ -32,7 +32,11 @@ import math
 import numpy as np
 
 from parallel_count_min_sketch_ray.state import base
-from parallel_count_min_sketch_ray.functions.hashing import MERSENNE_PRIME_31, djb2
+from parallel_count_min_sketch_ray.functions.hashing import (
+    MERSENNE_PRIME_31,
+    djb2,
+    universal_hash,
+)
 
 _E = math.e
 
@@ -92,9 +96,10 @@ class CountMinSketch:
         Delegates to the single definition of the hash family — any
         change there (e.g. to the documented uint64-wrap divergence)
         applies everywhere or merge compatibility breaks silently.
+        (Imported at module scope: a deferred by-name import here would
+        execute INSIDE Ray workers, which may not have this package on
+        sys.path — the code reaches them pickled by value.)
         """
-        from parallel_count_min_sketch_ray.functions.hashing import universal_hash
-
         return universal_hash(items, self.a, self.b, self.prime, self.width)
 
     # Hash+bincount over a ~2 MB working set stays in cache; measured

@@ -192,3 +192,35 @@ def test_weighted_build_from_counts_equals_stream_build(ray_session):
     weighted = CountMinSketch(eps=0.001, delta=0.1, seed=42)
     weighted.update(ids, vocab["cnt"].to_numpy())
     assert weighted == stream_cms
+
+
+def test_driver_contract_from_foreign_cwd(tmp_path):
+    """The driver may init Ray from any cwd: package code must reach
+    workers pickled by value — a runtime by-name import inside a worker
+    path breaks exactly here (regression test for the cms._indices
+    deferred-import bug)."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "driver.py"
+    script.write_text(
+        "import ray\n"
+        "ray.init(address='local', num_cpus=2, include_dashboard=False,\n"
+        "         logging_level='ERROR')\n"
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __ray_entry__ as e\n"
+        "out = e.queries()['cms_word_estimates']('/root/testdata/sf0.001')\n"
+        "assert len(out) == 10\n"
+        "print('FOREIGN-CWD-OK')\n"
+        "ray.shutdown()\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env={k: v for k, v in __import__("os").environ.items()
+             if k not in ("PYTHONPATH", "RAY_ADDRESS")},
+    )
+    assert "FOREIGN-CWD-OK" in proc.stdout, proc.stderr[-2000:]

@@ -48,12 +48,18 @@ def djb2_array(strings) -> np.ndarray:
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer: uint64 -> well-mixed uint64."""
-    z = np.asarray(x).astype(np.uint64, copy=True)
-    z += np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    """Vectorized splitmix64 finalizer: uint64 -> well-mixed uint64.
+
+    uint64 wraparound is the algorithm (mod-2**64 arithmetic); numpy
+    flags it only on the 0-d/scalar path, so silence that one class of
+    warning here rather than at every call site.
+    """
+    with np.errstate(over="ignore"):
+        z = np.asarray(x).astype(np.uint64, copy=True)
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
 
 
 _HASH64_CHUNK = 8192  # keep the padded byte matrix cache-resident:

@@ -35,12 +35,19 @@ def _matrix(batch_col) -> np.ndarray:
 
 
 def load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    """The fixed probe set: embeddings with vec_id < num_queries."""
-    import pyarrow.parquet as pq
-    import pyarrow.compute as pc
+    """The fixed probe set: embeddings with vec_id < num_queries.
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    t = t.filter(pc.less(t["vec_id"], num_queries))
+    Predicate pushdown: the filter rides ``pq.read_table(filters=...)``
+    so row groups whose vec_id stats exclude the probe range are never
+    read — the driver materializes ~num_queries rows, not the table.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", num_queries)],
+    )
     ids = t["vec_id"].to_numpy()
     order = np.argsort(ids)
     return ids[order], _matrix(t["embedding"])[order]
@@ -340,12 +347,41 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 
 
+def lsh_auto_params(
+    n_rows: int,
+    threshold: float,
+    target_bucket: int = 256,
+    target_recall: float = 0.8,
+    min_planes: int = 4,
+    max_tables: int = 32,
+) -> tuple[int, int]:
+    """Hyperplane-LSH sizing from the corpus row count.
+
+    Planes: enough that the *expected* bucket occupancy ``n / 2^planes``
+    stays at or under ``target_bucket`` (keeps in-bucket exact scoring
+    sub-quadratic in the corpus).  Tables: enough that a pair at
+    ``sim == threshold`` is bucketed together in at least one table with
+    probability ``target_recall`` (``p = (1 - acos(s)/pi)^planes`` per
+    table; ``1-(1-p)^T >= target_recall``), clamped to ``max_tables``
+    (shuffle volume is ``n × tables`` rows).
+    """
+    n_rows = max(int(n_rows), 1)
+    planes = max(min_planes, int(np.ceil(np.log2(max(n_rows / target_bucket, 1.0)))))
+    p_match = (1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi) ** planes
+    if p_match >= 1.0:
+        tables = 1
+    else:
+        tables = int(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - p_match)))
+    return planes, int(np.clip(tables, 1, max_tables))
+
+
 def embedding_near_dup_lsh(
     sf_dir: str,
     threshold: float = 0.4,
-    num_planes: int = 4,
-    num_tables: int = 8,
+    num_planes: int | None = None,
+    num_tables: int | None = None,
     seed: int = 7,
+    max_bucket: int = 4096,
 ) -> pd.DataFrame:
     """Scale path for :func:`embedding_near_dup`: multi-table
     random-hyperplane LSH bucketing instead of an all-pairs broadcast.
@@ -356,20 +392,40 @@ def embedding_near_dup_lsh(
     moves each embedding ``num_tables`` times keyed by bucket — rows
     proportional to the corpus, never pairs; no stage holds the full
     corpus.  Approximate: a pair is found only if some table buckets it
-    together (recall vs the exact oracle asserted in tests; more tables
-    / fewer planes raise recall).  Defaults (4 planes x 8 tables) give
-    ~0.75 theoretical recall at cosine 0.4 (p = 1-(1-(1-acos(s)/pi)^b)^T);
-    at larger corpora raise ``num_planes`` so expected bucket size
-    n/2^planes stays bounded, and add tables to hold recall.
+    together (recall vs the exact oracle asserted in tests).
+
+    Sizing is automatic by default (:func:`lsh_auto_params`): planes
+    grow with the corpus so expected bucket occupancy ``n/2^planes``
+    stays bounded, and tables grow to hold recall at the chosen
+    threshold.  Hot-bucket guards for the dup-heavy norm:
+
+    - identical vectors collapse before scoring (one unique row per
+      duplicate cluster; member pairs expand via vectorized merges with
+      the identical-pair sim computed from the same unit row — bit-equal
+      to the uncollapsed path);
+    - a bucket whose *unique*-vector count exceeds ``max_bucket``
+      re-splits by extra shared hyperplanes, so no group scores more
+      than ~``max_bucket``² sims (pairs split apart by every table's
+      sub-split are the documented recall trade).
     """
     import pyarrow.parquet as pq
 
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n_rows = pf.metadata.num_rows
+    auto_planes, auto_tables = lsh_auto_params(n_rows, threshold)
+    if num_planes is None:
+        num_planes = auto_planes
+    if num_tables is None:
+        num_tables = auto_tables
+
     # plane matrices derive from the seed; dim probed from one row
     rng = np.random.default_rng(seed)
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     probe = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
     dim = len(probe["embedding"][0])
     planes = rng.standard_normal((num_tables, num_planes, dim))
+    # shared sub-split planes for hot buckets (same for every bucket so
+    # the split is deterministic and consistent across groups)
+    sub_planes = np.random.default_rng(seed + 1).standard_normal((16, dim))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = _matrix(batch["embedding"])
@@ -395,30 +451,90 @@ def embedding_near_dup_lsh(
             )
         return pa.concat_tables(parts)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame(
-                {
-                    "vec_id_a": pd.Series(dtype=np.int64),
-                    "vec_id_b": pd.Series(dtype=np.int64),
-                    "sim": pd.Series(dtype=np.float64),
-                }
-            )
-        mat = np.asarray(
-            [np.asarray(e, dtype=np.float64) for e in g["embedding"]]
-        )
-        unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
-        sims = unit @ unit.T
-        ia, ib = np.triu_indices(n, 1)
+    _EMPTY_PAIRS = pa.table(
+        {
+            "vec_id_a": pa.array([], pa.int64()),
+            "vec_id_b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+
+    def score_subset(unit: np.ndarray, idx: np.ndarray, depth: int):
+        """Exact sims over unique rows ``idx``, sub-splitting hot sets
+        by the shared extra planes.  Yields (ua, ub, sim) index pairs."""
+        if idx.size < 2:
+            return
+        if idx.size > max_bucket and depth < sub_planes.shape[0]:
+            bits = (unit[idx] @ sub_planes[depth]) > 0
+            yield from score_subset(unit, idx[bits], depth + 1)
+            yield from score_subset(unit, idx[~bits], depth + 1)
+            return
+        sims = unit[idx] @ unit[idx].T
+        ia, ib = np.triu_indices(idx.size, 1)
         keep = sims[ia, ib] >= threshold
-        ids = g["vec_id"].to_numpy()
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        return pd.DataFrame(
+        if keep.any():
+            yield idx[ia[keep]], idx[ib[keep]], sims[ia[keep], ib[keep]]
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return _EMPTY_PAIRS
+        mat = _matrix(g["embedding"])
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+        inv = inv.ravel()
+        unit = uniq / np.maximum(np.linalg.norm(uniq, axis=1), 1e-30)[:, None]
+        members = pd.DataFrame({"c": inv, "id": ids})
+        frames = []
+        # intra-cluster: identical vectors; sim = the unit row's self-dot
+        # (exactly what the uncollapsed path computes for that pair)
+        counts = np.bincount(inv)
+        if (counts > 1).any():
+            self_sim = np.einsum("ij,ij->i", unit, unit)
+            dup = members[counts[inv] > 1]
+            m = dup.merge(dup, on="c", suffixes=("_a", "_b"))
+            m = m[m["id_a"] < m["id_b"]]
+            s = self_sim[m["c"].to_numpy()]
+            keep = s >= threshold
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id_a": m["id_a"].to_numpy()[keep],
+                            "vec_id_b": m["id_b"].to_numpy()[keep],
+                            "sim": s[keep],
+                        }
+                    )
+                )
+        # inter-cluster: guarded exact scoring over unique rows, then
+        # expand qualifying cluster pairs to member pairs via merges
+        parts = list(score_subset(unit, np.arange(uniq.shape[0]), 0))
+        if parts:
+            ua = np.concatenate([p[0] for p in parts])
+            ub = np.concatenate([p[1] for p in parts])
+            ss = np.concatenate([p[2] for p in parts])
+            sp = pd.DataFrame({"ca": ua, "cb": ub, "sim": ss})
+            m = sp.merge(members.rename(columns={"c": "ca", "id": "id_a"}), on="ca")
+            m = m.merge(members.rename(columns={"c": "cb", "id": "id_b"}), on="cb")
+            a = m["id_a"].to_numpy()
+            b = m["id_b"].to_numpy()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id_a": np.minimum(a, b),
+                        "vec_id_b": np.maximum(a, b),
+                        "sim": m["sim"].to_numpy(),
+                    }
+                )
+            )
+        if not frames:
+            return _EMPTY_PAIRS
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table(
             {
-                "vec_id_a": np.minimum(a, b),
-                "vec_id_b": np.maximum(a, b),
-                "sim": sims[ia[keep], ib[keep]],
+                "vec_id_a": out["vec_id_a"].to_numpy().astype(np.int64),
+                "vec_id_b": out["vec_id_b"].to_numpy().astype(np.int64),
+                "sim": out["sim"].to_numpy().astype(np.float64),
             }
         )
 
@@ -426,7 +542,7 @@ def embedding_near_dup_lsh(
         read(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     if len(out) == 0:

@@ -128,17 +128,31 @@ def _rows_fnv(mat: np.ndarray) -> np.ndarray:
 
 
 class _CandidateShingler:
-    """map_batches verify stage: re-shingle ONLY the candidate docs.
+    """map_batches verify stage: re-shingle ONLY the candidate docs and
+    replicate each candidate's shingle set to its pair-buckets.
 
-    The candidate id set is small, so it ships once inside the
-    serialized task function (no object-store round-trip needed);
-    each batch keeps only its candidate rows
-    via a sorted-array membership test, so the full corpus streams
-    through workers and only candidates' shingle sets leave the stage.
+    The candidate id set and the (doc → pair-bucket) multimap are
+    candidate-proportional, so they ship once inside the serialized
+    task function (no object-store round-trip needed); each batch keeps
+    only its candidate rows via a sorted-array membership test, so the
+    full corpus streams through workers and only candidates' shingle
+    sets (one row per (pair_bucket, doc)) leave the stage.
     """
 
-    def __init__(self, need_ids: np.ndarray, shingle_k: int):
-        self._need = np.sort(np.asarray(need_ids, dtype=np.int64))
+    _SCHEMA = pa.schema(
+        [
+            ("pair_bucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("size", pa.int64()),
+            ("shingles", pa.list_(pa.uint64())),
+        ]
+    )
+
+    def __init__(self, bucket_docs: np.ndarray, bucket_ids: np.ndarray, shingle_k: int):
+        order = np.argsort(bucket_docs, kind="stable")
+        self._bd_doc = np.asarray(bucket_docs, dtype=np.int64)[order]
+        self._bd_bucket = np.asarray(bucket_ids, dtype=np.int64)[order]
+        self._need = np.unique(self._bd_doc)
         self._k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -149,15 +163,28 @@ class _CandidateShingler:
         else:
             mask = np.zeros(ids.size, dtype=bool)
         if not mask.any():
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "shingles": pa.array([], pa.list_(pa.uint64())),
-                }
-            )
+            return self._SCHEMA.empty_table()
+        ids_m = ids[mask]
         texts = batch.filter(pa.array(mask))["text"].to_pylist()
         sh = shingle_hashes(texts, self._k)
-        return pa.table({"doc_id": ids[mask], "shingles": _shingle_list_array(sh)})
+        sizes = np.fromiter((s.size for s in sh), dtype=np.int64, count=len(sh))
+        sets = _shingle_list_array(sh)
+        # replicate each doc's row to every pair-bucket it appears in
+        lo = np.searchsorted(self._bd_doc, ids_m, side="left")
+        hi = np.searchsorted(self._bd_doc, ids_m, side="right")
+        take = np.concatenate(
+            [np.arange(l, h) for l, h in zip(lo, hi)]
+        ) if ids_m.size else np.zeros(0, np.int64)
+        reps = hi - lo
+        row_idx = np.repeat(np.arange(ids_m.size), reps)
+        return pa.table(
+            {
+                "pair_bucket": self._bd_bucket[take],
+                "doc_id": ids_m[row_idx],
+                "size": sizes[row_idx],
+                "shingles": sets.take(pa.array(row_idx, pa.int64())),
+            }
+        )
 
 
 def minhash_lsh_pairs(
@@ -172,10 +199,15 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
     jaccard >= threshold.  Candidates come from LSH banding (recall
-    controlled by bands/rows-per-band); verification re-shingles
-    candidate docs in a distributed scan with a broadcast id set
-    (:class:`_CandidateShingler`) — the driver only ever holds the
-    candidate pairs and candidate shingle sets, never the corpus.
+    controlled by bands/rows-per-band); verification is FULLY
+    distributed: candidate docs re-shingle inside the corpus scan
+    (:class:`_CandidateShingler`), each candidate's shingle set is
+    replicated to its pair-buckets, and per-pair exact Jaccard is
+    computed by a vectorized inverted-index merge INSIDE each
+    ``groupby(pair_bucket)`` group (the same pattern as
+    :func:`ngram_jaccard_pairs`).  The driver holds only the candidate
+    pair list and receives only the thresholded pairs — no per-pair
+    driver loop, no corpus on the driver.
     """
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
@@ -207,23 +239,90 @@ def minhash_lsh_pairs(
         )
     cand = cand.drop_duplicates().astype(np.int64)
 
-    # distributed verify: broadcast the candidate id set, re-shingle
-    # candidates inside the scan, gather only |candidates| shingle sets
-    need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
-    rows = (
-        read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(
-            _CandidateShingler(need, shingle_k), batch_format="pyarrow"
+    # distributed verify: each pair gets a pair_bucket; candidate docs
+    # re-shingle inside the scan and replicate to their pair-buckets;
+    # exact Jaccard is a vectorized inverted-index merge per group
+    from parallel_count_min_sketch_ray.stages.partitioning import num_shuffle_buckets
+
+    num_buckets = num_shuffle_buckets()
+    a = cand["doc_a"].to_numpy()
+    b = cand["doc_b"].to_numpy()
+    pb = ((a * np.int64(0x9E3779B9)) ^ b) % np.int64(num_buckets)
+    doc_bucket = np.unique(
+        np.stack([np.concatenate([a, b]), np.concatenate([pb, pb])], axis=1), axis=0
+    )
+    set_rows = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _CandidateShingler(doc_bucket[:, 0], doc_bucket[:, 1], shingle_k),
+        batch_format="pyarrow",
+    )
+    pair_rows = ray.data.from_arrow(
+        pa.table(
+            {
+                "pair_bucket": pb,
+                "doc_id": np.full(pb.size, -1, dtype=np.int64),
+                "size": np.full(pb.size, -1, dtype=np.int64),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(pb.size + 1, dtype=np.int32)),
+                    pa.array(np.zeros(0, np.uint64), pa.uint64()),
+                ),
+                "doc_a": a,
+                "doc_b": b,
+            }
         )
-        .take_all()
     )
-    sh = {int(r["doc_id"]): np.asarray(r["shingles"], dtype=np.uint64) for r in rows}
-    jac = np.array(
-        [exact_jaccard(sh[a], sh[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]
+
+    def add_pair_cols(batch: pa.Table) -> pa.Table:
+        neg = np.full(batch.num_rows, -1, dtype=np.int64)
+        return batch.append_column("doc_a", pa.array(neg)).append_column(
+            "doc_b", pa.array(neg)
+        )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        # per-pair exact Jaccard over EXACTLY the requested pairs in
+        # this bucket — work is pairs-proportional (an inverted-index
+        # self-merge here would recompute every co-bucket pair in every
+        # bucket, which is quadratic under dup-heavy replication)
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype=np.int64),
+                "doc_b": pd.Series(dtype=np.int64),
+                "jaccard": pd.Series(dtype=np.float64),
+            }
+        )
+        pairs = g[g["doc_a"] >= 0]
+        sets = g[g["doc_a"] < 0]
+        if pairs.empty:
+            return empty
+        sh = {
+            int(d): np.asarray(s, dtype=np.uint64)
+            for d, s in zip(sets["doc_id"], sets["shingles"])
+        }
+        a = pairs["doc_a"].to_numpy().astype(np.int64)
+        b = pairs["doc_b"].to_numpy().astype(np.int64)
+        jac = np.fromiter(
+            (exact_jaccard(sh[x], sh[y]) for x, y in zip(a, b)),
+            dtype=np.float64,
+            count=a.size,
+        )
+        keep = jac >= threshold
+        return pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep], "jaccard": jac[keep]})
+
+    out = (
+        set_rows.map_batches(add_pair_cols, batch_format="pyarrow")
+        .union(pair_rows)
+        .groupby("pair_bucket")
+        .map_groups(score, batch_format="pandas")
+        .to_pandas()
     )
-    out = cand.assign(jaccard=jac)
-    out = out[out["jaccard"] >= threshold]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
+        )
+    return (
+        out.astype({"doc_a": np.int64, "doc_b": np.int64})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +395,57 @@ _EMPTY_HAMMING = pd.DataFrame(
 )
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
+def _unique_sig_pairs(
+    uniq: np.ndarray, max_hamming: int, max_unique: int, exclude_chunk: int, level: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hamming-verified pairs over *unique* signatures with a hot-bucket
+    guard: if more than ``max_unique`` distinct signatures share one
+    band, re-split them by the next 16-bit chunk (recursively through
+    the other three chunks) instead of running an unguarded O(u²) triu.
+
+    Each recursion level keeps only pairs that ALSO agree on the split
+    chunk — the documented recall trade under adversarial skew (a pair
+    lost here is still found via any of its other three chunk views).
+    Distinct signatures must differ in some chunk, so three levels
+    always terminate with singleton groups.  Returns (ua_idx, ub_idx,
+    hamming) as indices into ``uniq``.
+    """
+    u = uniq.size
+    if u < 2:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    if u <= max_unique or level > 3:
+        ia, ib = np.triu_indices(u, 1)
+        ham = hamming64(uniq[ia], uniq[ib])
+        keep = ham <= max_hamming
+        return ia[keep], ib[keep], ham[keep]
+    chunk = (exclude_chunk + level) % 4
+    sub = ((uniq >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)).astype(np.int64)
+    order = np.argsort(sub, kind="stable")
+    sub_sorted = sub[order]
+    bounds = np.flatnonzero(np.diff(sub_sorted)) + 1
+    outs_a, outs_b, outs_h = [], [], []
+    for lo, hi in zip(
+        np.concatenate([[0], bounds]), np.concatenate([bounds, [u]])
+    ):
+        if hi - lo < 2:
+            continue
+        idx = order[lo:hi]
+        ia, ib, ham = _unique_sig_pairs(
+            uniq[idx], max_hamming, max_unique, exclude_chunk, level + 1
+        )
+        outs_a.append(idx[ia])
+        outs_b.append(idx[ib])
+        outs_h.append(ham)
+    if not outs_a:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    return np.concatenate(outs_a), np.concatenate(outs_b), np.concatenate(outs_h)
+
+
+def simhash_pairs(
+    sf_dir: str, max_hamming: int = 8, max_unique_sigs: int = 4096
+) -> pd.DataFrame:
     """SimHash near-dup pairs: (doc_a, doc_b, hamming <= max_hamming).
 
     Candidates via 16-bit chunk banding (a pair within Hamming<=3 of 64
@@ -306,6 +455,17 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
     MinHash-LSH, one small row per (doc, chunk).  Hamming verification
     runs vectorized inside each bucket group; the driver only sees
     verified pairs (deduplicated across the 4 chunk views).
+
+    Hot-bucket guards (the dup-heavy-corpus norm at 100 TB):
+
+    - identical signatures collapse FIRST — a bucket of d duplicate
+      docs costs one unique signature plus an output-proportional pair
+      expansion (vectorized self-merge), never d²/2 Hamming evals;
+    - buckets with more than ``max_unique_sigs`` *distinct* signatures
+      re-split by the remaining 16-bit chunks
+      (:func:`_unique_sig_pairs`) so no group is ever O(u²) beyond the
+      cap; pairs disagreeing on every split chunk of every hot view are
+      the documented recall trade.
     """
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -328,21 +488,52 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
         n = len(g)
         if n < 2:
             return _EMPTY_HAMMING
-        ia, ib = np.triu_indices(n, 1)
         sig = g["simhash"].to_numpy().astype(np.uint64)  # bit-preserving view
-        ham = hamming64(sig[ia], sig[ib])
-        keep = ham <= max_hamming
-        if not keep.any():
-            return _EMPTY_HAMMING
-        ids = g["doc_id"].to_numpy()
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        return pd.DataFrame(
-            {
-                "doc_a": np.minimum(a, b),
-                "doc_b": np.maximum(a, b),
-                "hamming": ham[keep],
-            }
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(sig, return_inverse=True)
+        members = pd.DataFrame({"c": inv, "id": ids})
+        frames = []
+        # intra-cluster: identical signatures pair at Hamming 0 — one
+        # vectorized self-merge, no hamming64 at all
+        counts = np.bincount(inv)
+        if (counts > 1).any():
+            dup = members[counts[inv] > 1]
+            m = dup.merge(dup, on="c", suffixes=("_a", "_b"))
+            m = m[m["id_a"] < m["id_b"]]
+            if len(m):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": m["id_a"].to_numpy(),
+                            "doc_b": m["id_b"].to_numpy(),
+                            "hamming": np.zeros(len(m), dtype=np.int64),
+                        }
+                    )
+                )
+        # inter-cluster: Hamming over unique signatures (guarded), then
+        # expand qualifying signature pairs to member pairs via merges
+        exclude_chunk = int(g["bucket"].iat[0]) >> 16
+        ua, ub, ham = _unique_sig_pairs(
+            uniq, max_hamming, max_unique_sigs, exclude_chunk, 1
         )
+        if ua.size:
+            sp = pd.DataFrame({"ca": ua, "cb": ub, "hamming": ham})
+            m = sp.merge(members.rename(columns={"c": "ca", "id": "id_a"}), on="ca")
+            m = m.merge(members.rename(columns={"c": "cb", "id": "id_b"}), on="cb")
+            a = m["id_a"].to_numpy()
+            b = m["id_b"].to_numpy()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": np.minimum(a, b),
+                        "doc_b": np.maximum(a, b),
+                        "hamming": m["hamming"].to_numpy(),
+                    }
+                )
+            )
+        if not frames:
+            return _EMPTY_HAMMING
+        return pd.concat(frames, ignore_index=True)
 
     pairs = (
         read(sf_dir, "documents", ["doc_id", "text"])

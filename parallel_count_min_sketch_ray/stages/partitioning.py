@@ -30,6 +30,21 @@ from parallel_count_min_sketch_ray.pipelines.sketch_build import SketchSpec
 from parallel_count_min_sketch_ray.state.base import sketch_from_bytes
 
 
+def num_shuffle_buckets(per_cpu: int = 2, floor: int = 16, cap: int = 4096) -> int:
+    """Coarse-bucket count for keyed shuffles (sessions/lag/joins/pair
+    scoring), derived from the cluster's CPU count: ``per_cpu`` groups
+    per core gives every core work with a little over-decomposition for
+    stragglers, floored so tiny test clusters still spread load and
+    capped so the group count never explodes scheduling overhead.
+    Falls back to 64 (the old fixed constant) when Ray is not up."""
+    import ray
+
+    if not ray.is_initialized():
+        return 64
+    cpus = int(ray.cluster_resources().get("CPU", 32))
+    return int(np.clip(per_cpu * cpus, floor, cap))
+
+
 def add_salted_key(
     ds, key: str, salt_col: str, num_salts: int = 8, out_col: str = "__salted_key"
 ):

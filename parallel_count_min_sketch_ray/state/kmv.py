@@ -41,6 +41,7 @@ class BottomKSketch:
             raise ValueError("k must be >= 3 (KMV estimate needs k-2 > 0)")
         self.k = int(k)
         self.seed = int(seed)
+        self._seed_hash = splitmix64(np.array(seed, dtype=np.uint64))
         self.hashes = np.zeros(0, dtype=np.uint64)  # sorted ascending
         self.keys = np.zeros(0, dtype=np.int64)  # aligned with hashes
         self.n = 0  # total items folded (diagnostic)
@@ -51,21 +52,23 @@ class BottomKSketch:
         return BottomKSketch(self.k, self.seed)
 
     def _hash(self, items: np.ndarray) -> np.ndarray:
-        return splitmix64(
-            items.astype(np.uint64) ^ splitmix64(np.uint64(self.seed))
-        )
+        return splitmix64(items.astype(np.uint64) ^ self._seed_hash)
 
     def update(self, items: np.ndarray, counts=None) -> None:
-        """Fold a batch of keys.  ``counts`` is accepted for UDAF-shape
-        uniformity but ignored beyond the n tally — multiplicity cannot
-        change a distinct-key sample (the hash of a repeated key is the
-        same draw)."""
+        """Fold a batch of keys.  ``counts`` affects only the n tally —
+        multiplicity cannot change a distinct-key sample (the hash of a
+        repeated key is the same draw) — except that zero-count keys
+        never occurred and are dropped before insertion (same rule as
+        KLLSketch.update)."""
         items = np.asarray(items).astype(np.int64, copy=False).ravel()
         if items.size == 0:
             return
         if counts is not None:
             counts = base.check_counts(counts)
             self.n += int(counts.sum())
+            items = items[np.asarray(counts).ravel() > 0]
+            if items.size == 0:
+                return
         else:
             self.n += int(items.size)
         h = self._hash(items)

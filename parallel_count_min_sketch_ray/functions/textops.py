@@ -121,6 +121,32 @@ def md5_digests(strings) -> list[str]:
     return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strings]
 
 
+def md5_digests_arrow(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Content digests straight off a string column's Arrow buffers.
+
+    The UTF-8 bytes already sit contiguous in the array's data buffer;
+    hashing memoryview slices (offsets from the offsets buffer) skips
+    the ``to_pylist`` str-decode + re-encode round trip of
+    :func:`md5_digests`.  Identical output (asserted in tests)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return pa.array([], pa.string())
+    if col.null_count:  # documents text is non-null; fall back if not
+        return pa.array(md5_digests(col.fill_null("").to_pylist()), pa.string())
+    buf_off = col.buffers()[1]
+    buf_dat = col.buffers()[2]
+    off = np.frombuffer(buf_off, dtype=np.int32, count=n + 1 + col.offset)[
+        col.offset :
+    ]
+    data = memoryview(buf_dat) if buf_dat is not None else memoryview(b"")
+    return pa.array(
+        [hashlib.md5(data[off[i] : off[i + 1]]).hexdigest() for i in range(n)],
+        pa.string(),
+    )
+
+
 def word_windows(ws: list[str], k: int) -> list[str]:
     """All k-word windows of a word list as space-joined strings,
     sliced by offset from ONE normalized join (no per-window ``join`` —

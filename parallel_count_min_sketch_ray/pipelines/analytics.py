@@ -211,12 +211,9 @@ def dedup_exact(sf_dir: str):
     """
 
     def digests(batch: pa.Table) -> pa.Table:
-        col = batch["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        dg = textops.md5_digests(col.to_pylist())
+        dg = textops.md5_digests_arrow(batch["text"])
         return pa.Table.from_arrays(
-            [pa.array(dg, pa.string()), batch["doc_id"]],
+            [dg, batch["doc_id"]],
             names=["digest", "doc_id"],
         )
 
@@ -286,8 +283,14 @@ def events_sessions(sf_dir: str, gap_us: int = 1_800_000_000):
     result is exact.
     """
 
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        num_shuffle_buckets,
+    )
+
+    n_buckets = num_shuffle_buckets()
+
     def bucketed(batch: pa.Table) -> pa.Table:
-        bucket = batch["user_id"].to_numpy(zero_copy_only=False) % np.int64(64)
+        bucket = batch["user_id"].to_numpy(zero_copy_only=False) % np.int64(n_buckets)
         return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -393,8 +396,14 @@ def events_lag(sf_dir: str):
     the result exact and deterministic with no per-user Python.
     """
 
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        num_shuffle_buckets,
+    )
+
+    n_buckets = num_shuffle_buckets()
+
     def bucketed(batch: pa.Table) -> pa.Table:
-        bucket = batch["user_id"].to_numpy(zero_copy_only=False) % np.int64(64)
+        bucket = batch["user_id"].to_numpy(zero_copy_only=False) % np.int64(n_buckets)
         return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
     def lag(g: pd.DataFrame) -> pd.DataFrame:
@@ -427,12 +436,19 @@ def events_lag(sf_dir: str):
     )
 
 
-def _pick_types(left_type: str, right_type: str, num_buckets: int):
+def _pick_types(left_type: str, right_type: str, num_buckets: int | None):
     """Filter to the two participating event types and add the coarse
     shuffle key ``user_id % num_buckets`` — FEW large groups instead of
     one group per user, so the in-group merge stays vectorized at any
     user cardinality (millions of per-tiny-group calls is the
-    map_groups failure mode at scale)."""
+    map_groups failure mode at scale).  ``num_buckets=None`` derives
+    the count from the cluster's CPUs (num_shuffle_buckets)."""
+    if num_buckets is None:
+        from parallel_count_min_sketch_ray.stages.partitioning import (
+            num_shuffle_buckets,
+        )
+
+        num_buckets = num_shuffle_buckets()
 
     def pick(batch: pa.Table) -> pa.Table:
         out = batch.filter(
@@ -448,7 +464,7 @@ def events_asof_join(
     sf_dir: str,
     left_type: str = "click",
     right_type: str = "purchase",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """As-of join — the canonical custom operator Ray Data lacks
     (SURVEY.md §2.4 custom-operator rule): each ``left_type`` event is
@@ -513,7 +529,7 @@ def events_range_join(
     left_type: str = "error",
     right_type: str = "click",
     window_us: int = 600_000_000,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Range (interval) join — second custom operator of the SURVEY
     §2.4 family: for each ``left_type`` event, the count of

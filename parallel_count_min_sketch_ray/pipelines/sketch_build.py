@@ -303,23 +303,157 @@ def build_sketch_via_aggregate(ds, proto, column: str, kind: str = "auto"):
     return sketch_from_bytes(out["sketch"])
 
 
-def build_sketches_by_key(
-    ds, key: str, specs: list[SketchSpec]
-) -> dict[Any, dict[str, Any]]:
-    """Per-group sketches via ``ds.groupby(key).aggregate(...)``.
+class KeyedPartialBatcher:
+    """map_batches stage: one row of serialized partials per (block,
+    key) — the grouped sibling of :class:`MultiPartialBatcher`.
 
-    This IS a shuffle on ``key`` — but the shuffled payload is the
-    per-block partial sketches, not the raw rows, because AggregateFn
-    accumulates block-side before the exchange.  Heavy-hitter keys are
-    therefore safe: every partition contributes at most one partial per
-    key per block regardless of row skew (the "salted repartition"
-    concern of BASELINE.json reduces to block sizing here).
+    The block sorts by key once (Arrow kernel), each key's row range
+    slices zero-copy, and every spec's sketch accumulates over the
+    slice.  Downstream merge stages (keyed combine tree, or a groupby
+    for high-cardinality keys) therefore move at most one
+    ~sketch-sized row per key per block, never raw rows — and the
+    merge is a plain blob fold, not Ray's grouped-AggregateFn inner
+    loop (measured 2.5x query-time overhead in Ray 2.49).
     """
-    aggs = [sketch_aggregate(s.proto, s.column, s.kind, name=s.name) for s in specs]
-    out = ds.groupby(key).aggregate(*aggs)
-    result: dict[Any, dict[str, Any]] = {}
-    for row in out.take_all():
-        result[row[key]] = {
-            s.name: sketch_from_bytes(row[s.name]) for s in specs
+
+    def __init__(self, key: str, specs: tuple[SketchSpec, ...]):
+        self._key = key
+        self._specs = specs
+        self._protos = [s.proto.empty_like() for s in specs]
+        self._extractors = [make_extractor(s.column, s.kind) for s in specs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        key_arr = batch[self._key]
+        if isinstance(key_arr, pa.ChunkedArray):
+            key_arr = key_arr.combine_chunks()
+        if batch.num_rows == 0:
+            arrays = [key_arr] + [pa.array([], pa.binary())] * len(self._specs)
+            return pa.Table.from_arrays(
+                arrays, names=[self._key] + [s.name for s in self._specs]
+            )
+        batch = batch.sort_by(self._key)
+        keys = batch[self._key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kn = keys.to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(kn[1:] != kn[:-1]) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(kn)]]).astype(np.int64)
+        blobs: list[list[bytes]] = [[] for _ in self._specs]
+        for s0, e0 in zip(starts, ends):
+            sub = batch.slice(int(s0), int(e0 - s0))
+            for j, (proto, ex) in enumerate(zip(self._protos, self._extractors)):
+                sk = proto.empty_like()
+                sk.update(ex(sub))
+                blobs[j].append(sk.to_bytes())
+        arrays = [keys.take(pa.array(starts))]
+        names = [self._key]
+        for s, bl in zip(self._specs, blobs):
+            arrays.append(pa.array(bl, pa.binary()))
+            names.append(s.name)
+        return pa.Table.from_arrays(arrays, names=names)
+
+
+def _keyed_combine_level(key: str, specs: tuple[SketchSpec, ...]):
+    """A keyed merge-tree level: fold a coalesced batch of (key,
+    partial-blob) rows into one row PER KEY — the grouped sibling of
+    :func:`_combine_level`.  ``map_batches(batch_size=fanin)`` bundles
+    rows across upstream blocks, so each level divides the per-key
+    partial count by ~fanin/num_keys without any all-to-all."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= 1:
+            return batch
+        batch = batch.sort_by(key)
+        keys = batch[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kn = keys.to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(kn[1:] != kn[:-1]) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(kn)]]).astype(np.int64)
+        arrays = [keys.take(pa.array(starts))]
+        names = [key]
+        for s in specs:
+            col = batch[s.name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out_blobs = []
+            for s0, e0 in zip(starts, ends):
+                acc = sketch_from_bytes(col[int(s0)].as_py())
+                for i in range(int(s0) + 1, int(e0)):
+                    acc.merge(sketch_from_bytes(col[i].as_py()))
+                out_blobs.append(acc.to_bytes())
+            arrays.append(pa.array(out_blobs, pa.binary()))
+            names.append(s.name)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return combine
+
+
+def build_sketches_by_key(
+    ds,
+    key: str,
+    specs: list[SketchSpec],
+    *,
+    combine_fanin: int = 64,
+    combine_levels: int = 2,
+    via: str = "fold",
+) -> dict[Any, dict[str, Any]]:
+    """Per-group sketches: per-(block, key) partial blobs
+    (:class:`KeyedPartialBatcher`) → keyed merge-tree → driver fold.
+
+    ``via="fold"`` (default) runs the SAME merge-tree topology as the
+    ungrouped :func:`build_sketches`: no shuffle at all — each combine
+    level coalesces ~``combine_fanin`` partial rows (across blocks) and
+    folds them per key, so the driver's fan-in is bounded at
+    ``num_keys × ceil(num_partial_rows / fanin**levels)``.  Right for
+    LOW/MODERATE key cardinality (sources, languages, shards): Ray's
+    Sort-based groupby costs ~2-3 s of fixed all-to-all overhead that
+    dominated these queries in round 2 (5.0 s → ~1 s here).
+
+    ``via="shuffle"`` keeps the groupby spelling for HIGH-cardinality
+    keys, where per-batch folding cannot reduce row count (every batch
+    already has ~one row per key) and a hash exchange is the right
+    topology.  Both paths shuffle only sketch-sized partials, never raw
+    rows, so heavy-hitter keys are safe either way (the "salted
+    repartition" concern of BASELINE.json reduces to block sizing).
+    """
+    specs = tuple(specs)
+    partials = ds.map_batches(KeyedPartialBatcher(key, specs), batch_format="pyarrow")
+
+    if via == "shuffle":
+
+        def merge_group(g: pa.Table) -> pa.Table:
+            arrays = [g[key].slice(0, 1)]
+            names = [key]
+            for s in specs:
+                blobs = g[s.name].to_pylist()
+                acc = sketch_from_bytes(blobs[0])
+                for blob in blobs[1:]:
+                    acc.merge(sketch_from_bytes(blob))
+                arrays.append(pa.array([acc.to_bytes()], pa.binary()))
+                names.append(s.name)
+            return pa.Table.from_arrays(arrays, names=names)
+
+        out = partials.groupby(key).map_groups(merge_group, batch_format="pyarrow")
+        return {
+            row[key]: {s.name: sketch_from_bytes(row[s.name]) for s in specs}
+            for row in out.take_all()
         }
+
+    combine = _keyed_combine_level(key, specs)
+    for _ in range(max(0, combine_levels)):
+        partials = partials.map_batches(
+            combine, batch_format="pyarrow", batch_size=combine_fanin
+        )
+    result: dict[Any, dict[str, Any]] = {}
+    for row in partials.take_all():
+        bucket = result.setdefault(row[key], {})
+        for s in specs:
+            sk = sketch_from_bytes(row[s.name])
+            if s.name in bucket:
+                bucket[s.name].merge(sk)
+            else:
+                bucket[s.name] = sk
     return result

@@ -106,8 +106,7 @@ def clean_corpus(sf_dir: str):
                 {"digest": pa.array([], pa.string()),
                  "packed": pa.array([], pa.string())}
             )
-        texts = kept["text"].to_pylist()
-        dg = textops.md5_digests(texts)
+        dg = textops.md5_digests_arrow(kept["text"])
         ids = kept["doc_id"].to_numpy(zero_copy_only=False)
         nw = m["n_words"][keep]
         # vectorized packing: zero-padded id | n_words | lang | source
@@ -123,9 +122,7 @@ def clean_corpus(sf_dir: str):
             if isinstance(kept["source"], pa.ChunkedArray) else kept["source"],
             "|",
         )
-        return pa.table(
-            {"digest": pa.array(dg, pa.string()), "packed": packed}
-        )
+        return pa.table({"digest": dg, "packed": packed})
 
     reps = (
         read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])

@@ -232,3 +232,49 @@ def test_corpus_write_lineage_resumes(ray_session, tmp_path):
     assert first["rows"].sum() > 0 and (first["bytes"] > 0).all()
     again = corpus_write_lineage("/root/testdata/sf0.001", out_root=out_root)
     assert first.equals(again)  # rerun skips completed partitions
+
+
+def test_grouped_fold_equals_shuffle(ray_session, tokens_fixture):
+    """The no-shuffle keyed merge tree (via='fold') and the groupby
+    spelling (via='shuffle') produce identical per-key sketches for
+    order-invariant merges (CMS adds, HLL maxes), and identical counts
+    for KLL."""
+    import ray.data
+
+    from parallel_count_min_sketch_ray.state.hll import HyperLogLog
+    from parallel_count_min_sketch_ray.state.kll import KLLSketch
+
+    ds = ray.data.read_parquet(tokens_fixture["paths"])
+    specs = [
+        SketchSpec("cms", CountMinSketch(eps=0.01, seed=42), "tokens"),
+        SketchSpec("hll", HyperLogLog(p=12, seed=42), "tokens"),
+        SketchSpec("kll", KLLSketch(k=200, seed=42), "n_tok"),
+    ]
+    fold = build_sketches_by_key(ds, "source", specs, combine_fanin=8)
+    shuf = build_sketches_by_key(ds, "source", specs, via="shuffle")
+    assert set(fold) == set(shuf)
+    for k in fold:
+        assert fold[k]["cms"] == shuf[k]["cms"], k
+        assert fold[k]["hll"].estimate() == shuf[k]["hll"].estimate(), k
+        assert fold[k]["kll"].n == shuf[k]["kll"].n, k
+
+
+def test_md5_digests_arrow_matches_pylist():
+    """Buffer-sliced digests == str-roundtrip digests, for plain,
+    sliced (non-zero offset), chunked, and null-bearing columns."""
+    from parallel_count_min_sketch_ray.functions.textops import (
+        md5_digests,
+        md5_digests_arrow,
+    )
+
+    texts = ["", "a", "hello world", "émoji ✨ utf8", "x" * 10_000]
+    plain = pa.array(texts, pa.string())
+    assert md5_digests_arrow(plain).to_pylist() == md5_digests(texts)
+    sliced = plain.slice(1, 3)
+    assert md5_digests_arrow(sliced).to_pylist() == md5_digests(texts[1:4])
+    chunked = pa.chunked_array([texts[:2], texts[2:]], pa.string())
+    assert md5_digests_arrow(chunked).to_pylist() == md5_digests(texts)
+    with_null = pa.array(["a", None, "b"], pa.string())
+    assert md5_digests_arrow(with_null).to_pylist() == md5_digests(["a", "", "b"])
+    empty = pa.array([], pa.string())
+    assert md5_digests_arrow(empty).to_pylist() == []

@@ -238,13 +238,20 @@ def ann_ivf_topk(
     here the probe-filter runs inside the scan.  Approximate — recall
     measured in tests against :func:`ann_topk`.
 
-    The coarse quantizer trains on a ``max_train``-row sample taken
-    with ``Dataset.limit`` — a bounded streaming prefix, never a
-    full-table driver read (a quantizer needs a representative sample,
-    not the corpus)."""
-    sample_rows = (
-        read(sf_dir, "embeddings", ["embedding"]).limit(max_train).take_all()
-    )
+    The coarse quantizer trains on a bounded ``max_train``-row SAMPLE:
+    a seeded ``Dataset.random_sample`` over the whole table (uniform —
+    representative even when the input is sorted/clustered on disk),
+    topped by ``limit(max_train)`` as the hard driver-memory bound.
+    Never a full-table driver read."""
+    import pyarrow.parquet as pq_
+
+    n_rows = pq_.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    emb = read(sf_dir, "embeddings", ["embedding"])
+    if n_rows > max_train:
+        # oversample 20% so the post-sample limit() rarely truncates a
+        # biased prefix; metadata row count is free (no scan)
+        emb = emb.random_sample(min(1.0, 1.2 * max_train / n_rows), seed=seed)
+    sample_rows = emb.limit(max_train).take_all()
     sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
     cent = kmeans_centroids(sample, num_centroids, seed)
     qids, qmat = load_queries(sf_dir, num_queries)

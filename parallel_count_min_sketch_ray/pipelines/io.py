@@ -87,22 +87,67 @@ def write_partition_atomic(out_dir: str, pid: str, tables) -> dict:
     return record
 
 
+INPUT_MANIFEST = "_INPUT_MANIFEST.json"
+
+
+def input_fingerprint(*paths: str) -> str:
+    """Cheap content fingerprint of the input files: (basename, size,
+    mtime_ns) per path — detects in-place regeneration without reading
+    data (the CheckpointStore.spec_fingerprint sibling for INPUTS)."""
+    import hashlib
+
+    parts = []
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()
+
+
+def _check_input_manifest(out_dir: str, fingerprint: str) -> bool:
+    """True if the existing manifest matches ``fingerprint``.  On
+    mismatch (input regenerated in place) every completed partition is
+    STALE: wipe them and rewrite the manifest — 'skip-completed' must
+    never serve lineage for data that no longer exists."""
+    path = os.path.join(out_dir, INPUT_MANIFEST)
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)["input_fingerprint"]
+        if existing == fingerprint:
+            return True
+        for d in os.listdir(out_dir):
+            if d.startswith("part="):
+                shutil.rmtree(os.path.join(out_dir, d))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"input_fingerprint": fingerprint}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return False
+
+
 def write_partitioned(
     partition_ids: list[str],
     produce: Callable[[str], "pa.Table"],
     out_dir: str,
     *,
     concurrency: int | None = None,
+    fingerprint: str | None = None,
 ) -> dict:
     """Run ``produce(pid)`` for every pending partition as Ray tasks and
     write each result atomically; returns {written, skipped, records}.
 
     ``produce`` must be deterministic per pid (retry-safe: a retried
-    task overwrites its own temp dir and renames last).
+    task overwrites its own temp dir and renames last).  Pass
+    ``fingerprint`` (:func:`input_fingerprint` of the inputs) to guard
+    skip-on-rerun against in-place input regeneration: a mismatch wipes
+    the stale partitions and rebuilds instead of silently reusing them.
     """
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
+    if fingerprint is not None:
+        _check_input_manifest(out_dir, fingerprint)
     done = completed_partitions(out_dir)
     pending = [p for p in partition_ids if p not in done]
 
@@ -155,14 +200,19 @@ def corpus_write_lineage(sf_dir: str, out_root: str = "/tmp/pcmr-corpus-write"):
 
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     out_dir = os.path.join(out_root, tag)
-    src_col = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    doc_path = f"{sf_dir}/documents.parquet"
+    src_col = pq_.read_table(doc_path, columns=["source"])
     sources = sorted(set(src_col["source"].to_pylist()))
 
     def produce(pid: str):
-        t = pq_.read_table(f"{sf_dir}/documents.parquet")
+        t = pq_.read_table(doc_path)
         return t.filter(pc.equal(t["source"], pid))
 
-    result = write_partitioned(sources, produce, out_dir)
+    # fingerprint guards the skip-completed path against documents.parquet
+    # being regenerated in place under the same sf_dir (stale-reuse hazard)
+    result = write_partitioned(
+        sources, produce, out_dir, fingerprint=input_fingerprint(doc_path)
+    )
     done = completed_partitions(out_dir)
     rows = []
     for src in sources:

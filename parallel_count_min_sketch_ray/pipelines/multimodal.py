@@ -56,28 +56,79 @@ def synthesize_media_table(num_rows: int, seed: int = 42, payload_bytes: int = 4
     )
 
 
+def resolve_image_codec():
+    """Codec plug-point: return ``decode(payload, width, height) ->
+    np.ndarray`` (2-D uint8 grayscale pixels) backed by a REAL imaging
+    library when one is importable — PIL first, then cv2 — else None.
+
+    This container ships neither, so callers fall back to strict-raise
+    or the deterministic fake; in a production image the same code
+    auto-uses the real codec with no changes (asserted by a test that
+    injects a tiny decoder through this plug-point).
+    """
+    try:
+        import io as _io
+
+        from PIL import Image  # noqa: F401
+
+        def _pil_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+            return np.asarray(
+                Image.open(_io.BytesIO(payload)).convert("L"), dtype=np.uint8
+            )
+
+        return _pil_decode
+    except ImportError:
+        pass
+    try:
+        import cv2  # noqa: F401
+
+        def _cv2_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+            img = cv2.imdecode(np.frombuffer(payload, np.uint8), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                raise ValueError("undecodable image payload")
+            return img.astype(np.uint8)
+
+        return _cv2_decode
+    except ImportError:
+        return None
+
+
 class ImageDecodeStage:
     """Actor-pool stage: binary payload -> decoded pixel tensor stats.
 
-    ``strict=True`` raises NotImplementedError at the decode call (the
-    honest no-codec posture); the default deterministic fake decoder
-    hashes the payload into a fixed-size pseudo-pixel array so the
-    Ray-side plumbing (schemas, batch shapes, actor lifecycle) is fully
-    exercisable in tests.
+    Decoder resolution order (once per actor, in ``__init__``):
+    an explicit ``decoder`` callable (tests / dependency injection) →
+    :func:`resolve_image_codec` (real PIL/cv2 when importable) →
+    ``strict=True`` raises NotImplementedError (the honest no-codec
+    posture) → deterministic fake decoder (payload bytes as pseudo
+    pixels), so the Ray-side plumbing (schemas, batch shapes, actor
+    lifecycle) is fully exercisable in tests.  Output schema is
+    identical on every path.
     """
 
     #: per-actor init marker checked in tests (runs once per actor)
-    def __init__(self, out_size: int = 64, strict: bool = False):
+    def __init__(self, out_size: int = 64, strict: bool = False, decoder=None):
         self._out = int(out_size)
         self._strict = strict
-        self._init_count = 1  # codec/model load would happen here
+        self._decoder = decoder if decoder is not None else resolve_image_codec()
+        self._init_count = 1  # codec/model load happens here, once per actor
+
+    def _normalize(self, img: np.ndarray) -> np.ndarray:
+        """Any decoded pixel grid -> fixed (out, out) uint8 via
+        deterministic nearest-neighbor sampling (codec-agnostic)."""
+        img = np.atleast_2d(np.asarray(img, dtype=np.uint8))
+        yi = np.linspace(0, img.shape[0] - 1, self._out).astype(np.int64)
+        xi = np.linspace(0, img.shape[1] - 1, self._out).astype(np.int64)
+        return img[np.ix_(yi, xi)]
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self._decoder is not None:
+            return self._normalize(self._decoder(payload, width, height))
         if self._strict:
             raise NotImplementedError(
                 "image decode requires a codec library (PIL/cv2) not present "
                 "in this container; run with strict=False for the "
-                "deterministic fake decoder"
+                "deterministic fake decoder, or inject decoder=..."
             )
         # deterministic fake: payload bytes -> uint8 'pixels'
         raw = np.frombuffer(payload, dtype=np.uint8)
@@ -166,12 +217,16 @@ def media_decode_stats(sf_dir: str, num_rows: int = 256) -> "object":
     return g
 
 
-def decode_pipeline(ds, *, batch_size: int = 64, concurrency=(1, 4), strict: bool = False):
+def decode_pipeline(ds, *, batch_size: int = 64, concurrency=(1, 4), strict: bool = False,
+                    decoder=None):
     """media table -> per-image stats + embeddings (actor pool, small
-    batches for large binary rows)."""
+    batches for large binary rows).  ``decoder`` plumbs a real codec
+    callable through to every actor (cloudpickled with the constructor
+    kwargs — monkeypatching the module in the driver would NOT reach
+    worker processes)."""
     return ds.map_batches(
         ImageDecodeStage,
-        fn_constructor_kwargs={"strict": strict},
+        fn_constructor_kwargs={"strict": strict, "decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

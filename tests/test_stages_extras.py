@@ -278,3 +278,89 @@ def test_md5_digests_arrow_matches_pylist():
     assert md5_digests_arrow(with_null).to_pylist() == md5_digests(["a", "", "b"])
     empty = pa.array([], pa.string())
     assert md5_digests_arrow(empty).to_pylist() == []
+
+
+def test_corpus_write_invalidates_on_input_change(ray_session, tmp_path):
+    """Regenerating documents.parquet in place must NOT serve stale
+    partition lineage from the skip-completed path (the checkpoint
+    manifest's stale-reuse guard, applied to partitioned output)."""
+    import shutil as _sh
+
+    import pyarrow.parquet as _pq
+
+    from parallel_count_min_sketch_ray.pipelines.io import corpus_write_lineage
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _sh.copy("/root/testdata/sf0.001/documents.parquet", sf / "documents.parquet")
+    out_root = str(tmp_path / "writes")
+    first = corpus_write_lineage(str(sf), out_root=out_root)
+
+    # regenerate the input IN PLACE: keep only the first half of rows
+    t = _pq.read_table(sf / "documents.parquet")
+    _pq.write_table(t.slice(0, t.num_rows // 2), sf / "documents.parquet")
+
+    second = corpus_write_lineage(str(sf), out_root=out_root)
+    assert second["rows"].sum() == t.num_rows // 2  # rebuilt, not stale
+    assert first["rows"].sum() == t.num_rows
+    # unchanged input -> rerun skips and returns identical lineage
+    third = corpus_write_lineage(str(sf), out_root=out_root)
+    assert second.equals(third)
+
+
+def test_image_decode_codec_plugpoint(ray_session, monkeypatch):
+    """A real decoder injected through the plug-point yields REAL pixel
+    stats (not the fake hash-pixels), via both the auto-resolve path
+    (direct call) and fn_constructor_kwargs (through Ray actors)."""
+    import numpy as np
+    import ray.data
+
+    from parallel_count_min_sketch_ray.pipelines import multimodal as mm
+
+    def _tiny_codec(payload: bytes, width: int, height: int):
+        # a 'real' codec: payload IS a raw uint8 row-major pixel grid
+        # (closure, so cloudpickle ships it by VALUE to Ray workers)
+        import numpy as _np
+
+        # skip the 4-byte magic header (what a real codec does and
+        # the fake byte-tiling decoder does not)
+        body = _np.frombuffer(payload, dtype=_np.uint8)[4 : 4 + width * height]
+        return body.reshape(height, width)
+
+    # a 4x4 'image' whose pixels we control exactly
+    grid = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    table = pa.table(
+        {
+            "media_id": pa.array([7], pa.int64()),
+            "payload": pa.array([b"IMG!" + grid.tobytes()], pa.binary()),
+            "mime": pa.array(["image/raw"]),
+            "width": pa.array([4], pa.int32()),
+            "height": pa.array([4], pa.int32()),
+            "n_frames": pa.array([1], pa.int32()),
+        }
+    )
+    # 1) auto-resolution path: monkeypatch the resolver (same process)
+    monkeypatch.setattr(mm, "resolve_image_codec", lambda: _tiny_codec)
+    stage = mm.ImageDecodeStage(out_size=4)
+    out = stage(table)
+    assert out["pixel_mean"][0].as_py() == pytest.approx(float(grid.mean()))
+    assert out["pixel_std"][0].as_py() == pytest.approx(float(grid.std()))
+    monkeypatch.undo()
+
+    # 2) through Ray actors: decoder ships via fn_constructor_kwargs
+    ds = ray.data.from_arrow(table)
+    out2 = mm.decode_pipeline(
+        ds, batch_size=1, concurrency=1, decoder=_tiny_codec
+    ).to_pandas()
+    direct = mm.ImageDecodeStage(decoder=_tiny_codec)(table)
+    assert out2["pixel_mean"][0] == pytest.approx(direct["pixel_mean"][0].as_py())
+    assert out2["pixel_std"][0] == pytest.approx(direct["pixel_std"][0].as_py())
+
+    # 3) default (no codec in this container): fake decoder, NOT the
+    # real pixel stats — proves the plug-point changes the kernel only
+    fake = mm.ImageDecodeStage(out_size=4)(table)
+    assert fake["pixel_mean"][0].as_py() != out["pixel_mean"][0].as_py()
+
+    # 4) strict with no codec raises
+    with pytest.raises(NotImplementedError):
+        mm.ImageDecodeStage(out_size=4, strict=True)(table)

@@ -202,7 +202,13 @@ def media_decode_stats(sf_dir: str, num_rows: int = 256) -> "object":
 
     import ray.data
 
-    media = ray.data.from_arrow(synthesize_media_table(num_rows, seed=42))
+    table = synthesize_media_table(num_rows, seed=42)
+    # from_arrow(one table) is ONE block — slice so the actor pool's
+    # minimum concurrency actually has inputs to run on
+    step = max(1, num_rows // 8)
+    media = ray.data.from_arrow(
+        [table.slice(i, step) for i in range(0, num_rows, step)]
+    )
     decoded = decode_pipeline(media, batch_size=32, concurrency=2).to_pandas()
     mimes = synthesize_media_table(num_rows, seed=42)["mime"].to_pandas()
     decoded = decoded.sort_values("media_id").reset_index(drop=True)

@@ -64,13 +64,16 @@ def test_multimodal_decode_stage(ray_session):
     )
 
     media = synthesize_media_table(64, seed=3)
-    ds = ray.data.from_arrow(media)
+    ds = ray.data.from_arrow([media.slice(i, 16) for i in range(0, 64, 16)])
     out = decode_pipeline(ds, batch_size=16, concurrency=2).to_pandas()
     assert len(out) == 64
     assert set(out.columns) == {"media_id", "pixel_mean", "pixel_std", "embedding"}
     assert all(len(e) == 64 for e in out["embedding"])
     # deterministic: same payload -> same stats
-    out2 = decode_pipeline(ray.data.from_arrow(media), batch_size=16).to_pandas()
+    out2 = decode_pipeline(
+        ray.data.from_arrow([media.slice(i, 16) for i in range(0, 64, 16)]),
+        batch_size=16,
+    ).to_pandas()
     assert np.allclose(
         out.sort_values("media_id")["pixel_mean"].to_numpy(),
         out2.sort_values("media_id")["pixel_mean"].to_numpy(),

@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- near-dup / text analysis ---
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (LSH recall)
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # SQL-checked
+        "neardup_components": dedup.neardup_components,  # SQL-checked
         "simhash_pairs": dedup.simhash_pairs,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "embedding_near_dup_lsh": ann.embedding_near_dup_lsh,
@@ -115,6 +116,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_stats": _media_decode_stats,
         "doc_fingerprints": textpipe.doc_fingerprints,
     }
+
+
+# shingling + inverted self-join co-occurrence (shared by the pair
+# query and the connected-components closure over those pairs)
+_NGRAM_PAIRS_CTES = (
+    "d AS (SELECT doc_id, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), "
+    "s AS (SELECT doc_id, list_distinct("
+    "CASE WHEN len(ws) = 0 THEN [] "
+    "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+    "ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "FOR i IN range(1, len(ws) - 1)] END) AS sh FROM d), "
+    "e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s), "
+    "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "a.sz AS size_a, b.sz AS size_b, COUNT(*) AS inter "
+    "FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2, 3, 4), "
+    "pr AS (SELECT doc_a, doc_b, "
+    "CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard "
+    "FROM p WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.2 "
+    # exact_jaccard's both-empty convention: two zero-shingle
+    # (empty-text) docs pair at jaccard 1.0
+    "UNION ALL SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard "
+    "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+    "WHERE len(a.sh) = 0 AND len(b.sh) = 0)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -324,26 +351,21 @@ def oracle_sql() -> dict[str, str]:
         # exact distributed inverted-index Jaccard (pipelines/dedup.py);
         # the SQL restates shingling + the self-join co-occurrence count
         "ngram_jaccard_pairs": (
-            "WITH d AS (SELECT doc_id, "
-            "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), "
-            "s AS (SELECT doc_id, list_distinct("
-            "CASE WHEN len(ws) = 0 THEN [] "
-            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
-            "ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
-            "FOR i IN range(1, len(ws) - 1)] END) AS sh FROM d), "
-            "e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s), "
-            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "a.sz AS size_a, b.sz AS size_b, COUNT(*) AS inter "
-            "FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id "
-            "GROUP BY 1, 2, 3, 4) "
-            "SELECT doc_a, doc_b, "
-            "CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard "
-            "FROM p WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.2 "
-            # exact_jaccard's both-empty convention: two zero-shingle
-            # (empty-text) docs pair at jaccard 1.0
-            "UNION ALL SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard "
-            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            "WHERE len(a.sh) = 0 AND len(b.sh) = 0"
+            f"WITH {_NGRAM_PAIRS_CTES} SELECT doc_a, doc_b, jaccard FROM pr"
+        ),
+        # connected components over the same pair set: recursive
+        # min-label reachability closure (every label reaches every node
+        # of its component; MIN per node = the component representative)
+        "neardup_components": (
+            f"WITH RECURSIVE {_NGRAM_PAIRS_CTES}, "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM pr "
+            "UNION ALL SELECT doc_b, doc_a FROM pr), "
+            "reach(node, label) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT eg.b, r.label FROM reach r JOIN edges eg ON eg.a = r.node) "
+            "SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS rep_id "
+            "FROM reach GROUP BY node"
         ),
         "embedding_near_dup": (
             "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "

@@ -703,3 +703,76 @@ def ngram_jaccard_pairs_exact(
             if jac >= threshold:
                 rows.append((int(doc_ids[i]), int(doc_ids[j]), jac))
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def union_find_components(pairs: "pd.DataFrame") -> dict[int, int]:
+    """Connected components over a (doc_a, doc_b) edge list: map of
+    doc_id -> component representative (the component's min doc_id).
+
+    Runs driver-side: the edge list is the OUTPUT of a near-dup pass
+    (candidate-proportional, thresholded), not the corpus.  At 100 TB
+    the same contract holds — pairs are rare by construction — but if a
+    corpus ever produced an edge list too big for one machine, the
+    replacement is iterative hash-min label propagation (groupby(min)
+    over labels joined to edges until fixpoint), same result.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: the smaller doc_id becomes the root, so the
+            # final representative needs no second pass
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def neardup_components(
+    sf_dir: str, k: int = 3, threshold: float = 0.2
+) -> pd.DataFrame:
+    """Near-dup dedup as a CORPUS operation: exact k-shingle Jaccard
+    pairs (:func:`ngram_jaccard_pairs`, distributed inverted index) →
+    connected components → one representative (min doc_id) per
+    component; every document gets a ``rep_id`` (its own id when it has
+    no near-dup).  ``rep_id == doc_id`` is the keep-set of a transitive
+    near-dedup pass — the step LLM-corpus pipelines actually run on the
+    pair output.
+
+    Distribution shape: pair generation is the existing distributed
+    pass; components run on the driver over the thresholded pair list
+    (output-proportional); the rep assignment is a broadcast-dict
+    map_batches over the doc_id column only (no text re-read).
+
+    Oracle: DuckDB recursive CTE (min-label reachability closure) over
+    the same shingle self-join — see ``entry.oracle_sql``.
+    """
+    pairs = ngram_jaccard_pairs(sf_dir, k=k, threshold=threshold)
+    rep = union_find_components(pairs)
+    rep_ref = ray.put(rep)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mapping = ray.get(rep_ref)
+        reps = np.array([mapping.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "rep_id": pa.array(reps, pa.int64())})
+
+    out = (
+        read(sf_dir, "documents", ["doc_id"])
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

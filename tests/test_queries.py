@@ -563,3 +563,45 @@ def test_asof_range_vectorized_match_per_user_reference(ray_session, tmp_path):
     assert len(got_r) == len(want_range)
     for r in got_r.itertuples():
         assert r.n_right_in_window == want_range[r.event_id]
+
+
+def test_union_find_components_basic():
+    import pandas as pd
+
+    from parallel_count_min_sketch_ray.pipelines.dedup import (
+        union_find_components,
+    )
+
+    # chain 1-2-3, pair 10-11 (via 12 bridging order), singleton 99 absent
+    pairs = pd.DataFrame(
+        {"doc_a": [2, 1, 10, 12], "doc_b": [3, 2, 12, 11]}
+    )
+    rep = union_find_components(pairs)
+    assert rep[1] == rep[2] == rep[3] == 1
+    assert rep[10] == rep[11] == rep[12] == 10
+    assert 99 not in rep
+    assert union_find_components(pairs.iloc[:0]) == {}
+
+
+def test_neardup_components_planted(ray_session, planted_corpus):
+    """Planted near-dup pairs collapse to one representative each;
+    every other doc represents itself; rep is the component min."""
+    from parallel_count_min_sketch_ray.pipelines.dedup import (
+        neardup_components,
+        ngram_jaccard_pairs_exact,
+    )
+
+    d, t = planted_corpus
+    out = neardup_components(d, threshold=0.5)
+    assert len(out) == t.num_rows
+    exact = ngram_jaccard_pairs_exact(
+        t["text"].to_pylist(), t["doc_id"].to_numpy(), threshold=0.5
+    )
+    paired = set(exact["doc_a"]) | set(exact["doc_b"])
+    by_id = dict(zip(out["doc_id"], out["rep_id"]))
+    for a, b in zip(exact["doc_a"], exact["doc_b"]):
+        assert by_id[a] == by_id[b]  # same component
+        assert by_id[a] <= min(a, b)  # rep is a min
+    for doc in by_id:
+        if doc not in paired:
+            assert by_id[doc] == doc  # untouched docs keep themselves

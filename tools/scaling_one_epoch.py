@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""One-epoch scaling record: 2 -> 8 -> 32 CPUs back-to-back.
+
+BASELINE.md documents that this sandbox VM drifts across a session
+(khugepaged/kcompactd memory-compaction kernel threads accumulate CPU
+and inflate everything uniformly), so cross-run efficiency ratios are
+only meaningful within one host epoch.  This tool runs all three
+parallelism levels consecutively in fresh processes over the SAME
+cached corpus and brackets each leg with epoch markers:
+
+- kernel-thread CPU seconds (khugepaged + kcompactd, from
+  /proc/<pid>/stat) — the drift signature named in BASELINE.md;
+- a fixed single-thread numpy microbenchmark (hash+bincount over 8M
+  uint64, the headline kernel's shape) — an absolute host-speed probe.
+
+Output: one JSON (stdout + BENCH/scaling_one_epoch_r3.json) with both
+efficiencies and the marker series, so a reader can verify the legs
+ran at comparable host speed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCALING_ROWS = os.environ.get("GRAFT_SCALING_ROWS", "16000000")
+LEVELS = [int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8,32").split(",")]
+WARMUPS = os.environ.get("GRAFT_BENCH_WARMUPS", "2")
+REPS = os.environ.get("GRAFT_BENCH_REPS", "3")
+
+
+def kernel_thread_cpu() -> dict[str, float]:
+    """CPU seconds of the memory-compaction kernel threads (the host
+    epoch drift signature; BASELINE.md 'Host-drift caveat')."""
+    hz = os.sysconf("SC_CLK_TCK")
+    out: dict[str, float] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                comm = f.read().strip()
+            if not (comm.startswith("khugepaged") or comm.startswith("kcompactd")):
+                continue
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # fields 14/15 (1-based utime/stime) are parts[11]/parts[12]
+            out[comm] = out.get(comm, 0.0) + (int(parts[11]) + int(parts[12])) / hz
+        except (OSError, IndexError, ValueError):
+            continue
+    return out
+
+
+def cpu_probe() -> float:
+    """Fixed single-thread microbenchmark (headline kernel shape):
+    lower is faster host."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 31, size=8_000_000, dtype=np.int64).astype(np.uint64)
+    t0 = time.perf_counter()
+    z = x * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    np.bincount((z % np.uint64(2719)).astype(np.int64), minlength=2719)
+    return round(time.perf_counter() - t0, 4)
+
+
+def marker() -> dict:
+    return {"kernel_thread_cpu_sec": kernel_thread_cpu(), "cpu_probe_sec": cpu_probe()}
+
+
+def run_leg(n: int) -> dict:
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(n),
+        GRAFT_BENCH_HEADLINE_ONLY="1",
+        GRAFT_BENCH_ROWS=SCALING_ROWS,
+        GRAFT_BENCH_WARMUPS=WARMUPS,
+        GRAFT_BENCH_REPS=REPS,
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])["headline"]
+
+
+def main() -> None:
+    # corpus generated once before any timed leg
+    subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {REPO!r}); "
+         f"import bench; bench.ensure_corpus({int(SCALING_ROWS)})"],
+        check=True, capture_output=True,
+    )
+    record: dict = {
+        "metric": "cms_build_scaling_one_epoch",
+        "unit": "sec",
+        "levels": LEVELS,
+        "rows": int(SCALING_ROWS),
+        "warmups": int(WARMUPS),
+        "reps": int(REPS),
+        "markers": {"start": marker()},
+        "legs": {},
+    }
+    for n in LEVELS:
+        record["legs"][str(n)] = run_leg(n)
+        record["markers"][f"after_{n}"] = marker()
+    for lo, hi in zip(LEVELS, LEVELS[1:]):
+        t_lo = record["legs"][str(lo)]["wall_sec"]
+        t_hi = record["legs"][str(hi)]["wall_sec"]
+        record[f"eff_{lo}to{hi}"] = round((t_lo / t_hi) / (hi / lo), 3)
+    record["note"] = (
+        "All legs ran consecutively in one host epoch (VERDICT r2 item 7): "
+        "identical code, same cached corpus, fresh ray.init process per leg. "
+        "Markers bracket each leg — if kernel_thread_cpu_sec jumps or "
+        "cpu_probe_sec rises between legs, the epoch degraded and the "
+        "ratios are confounded; flat markers mean the efficiencies are "
+        "host-comparable."
+    )
+    js = json.dumps(record, indent=1)
+    print(js)
+    with open(os.path.join(REPO, "BENCH", "scaling_one_epoch_r3.json"), "w") as f:
+        f.write(js + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,18 +57,32 @@ def kernel_thread_cpu() -> dict[str, float]:
     return out
 
 
+_PROBE_BUF = None
+
+
 def cpu_probe() -> float:
     """Fixed single-thread microbenchmark (headline kernel shape):
-    lower is faster host."""
+    lower is faster host.  The input buffer is allocated once and the
+    probe repeats 3x taking the min, so the reading reflects host CPU
+    speed, not this process's own first-touch page faults (the
+    attempt-1 record's probe was allocator-warmth-confounded)."""
     import numpy as np
 
-    rng = np.random.default_rng(7)
-    x = rng.integers(0, 1 << 31, size=8_000_000, dtype=np.int64).astype(np.uint64)
-    t0 = time.perf_counter()
-    z = x * np.uint64(0xBF58476D1CE4E5B9)
-    z ^= z >> np.uint64(27)
-    np.bincount((z % np.uint64(2719)).astype(np.int64), minlength=2719)
-    return round(time.perf_counter() - t0, 4)
+    global _PROBE_BUF
+    if _PROBE_BUF is None:
+        rng = np.random.default_rng(7)
+        _PROBE_BUF = rng.integers(
+            0, 1 << 31, size=8_000_000, dtype=np.int64
+        ).astype(np.uint64)
+        cpu_probe()  # warm the scratch allocations once, untimed
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        z = _PROBE_BUF * np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        np.bincount((z % np.uint64(2719)).astype(np.int64), minlength=2719)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def marker() -> dict:

@@ -135,9 +135,10 @@ def md5_digests_arrow(col: pa.Array | pa.ChunkedArray) -> pa.Array:
         return pa.array([], pa.string())
     if col.null_count:  # documents text is non-null; fall back if not
         return pa.array(md5_digests(col.fill_null("").to_pylist()), pa.string())
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
     buf_off = col.buffers()[1]
     buf_dat = col.buffers()[2]
-    off = np.frombuffer(buf_off, dtype=np.int32, count=n + 1 + col.offset)[
+    off = np.frombuffer(buf_off, dtype=off_dtype, count=n + 1 + col.offset)[
         col.offset :
     ]
     data = memoryview(buf_dat) if buf_dat is not None else memoryview(b"")

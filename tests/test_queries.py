@@ -605,3 +605,25 @@ def test_neardup_components_planted(ray_session, planted_corpus):
     for doc in by_id:
         if doc not in paired:
             assert by_id[doc] == doc  # untouched docs keep themselves
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    """The distributed hash-min label propagation (the documented scale
+    path) computes the same components as driver-side union-find,
+    including a long chain (propagation needs multiple rounds)."""
+    import pandas as pd
+
+    from parallel_count_min_sketch_ray.pipelines.dedup import (
+        label_propagation_components,
+        union_find_components,
+    )
+
+    rng = np.random.default_rng(11)
+    # a 30-node chain + random clusters
+    chain = [(i, i + 1) for i in range(100, 130)]
+    clusters = [(int(a), int(b)) for a, b in rng.integers(0, 60, size=(40, 2)) if a != b]
+    pairs = pd.DataFrame(chain + clusters, columns=["doc_a", "doc_b"])
+    uf = union_find_components(pairs)
+    lp = label_propagation_components(pairs)
+    assert lp == uf
+    assert label_propagation_components(pairs.iloc[:0]) == {}

@@ -281,6 +281,9 @@ def test_md5_digests_arrow_matches_pylist():
     assert md5_digests_arrow(with_null).to_pylist() == md5_digests(["a", "", "b"])
     empty = pa.array([], pa.string())
     assert md5_digests_arrow(empty).to_pylist() == []
+    large = pa.array(texts, pa.large_string())
+    assert md5_digests_arrow(large).to_pylist() == md5_digests(texts)
+    assert md5_digests_arrow(large.slice(2, 2)).to_pylist() == md5_digests(texts[2:4])
 
 
 def test_corpus_write_invalidates_on_input_change(ray_session, tmp_path):

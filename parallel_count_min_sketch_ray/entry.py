@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- exact token / document analytics (SQL-checked) ---
         "token_counts": analytics.token_counts,
         "token_totals": analytics.token_totals,
+        "token_f2": analytics.token_f2,
         "heavy_hitters": analytics.heavy_hitters,
         "doc_token_stats": analytics.doc_token_stats,
         "lang_source_counts": analytics.lang_source_counts,
@@ -93,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": ann.embedding_near_dup,
         # --- sketch estimates (deterministic, rows-only) ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
+        "countsketch_word_estimates": sketch_queries.countsketch_word_estimates,
         "hll_distinct_words": sketch_queries.hll_distinct_words,
         "kll_ntok_quantiles": sketch_queries.kll_ntok_quantiles,
         "bloom_doc_membership": sketch_queries.bloom_doc_membership,
@@ -156,6 +158,11 @@ def oracle_sql() -> dict[str, str]:
         "token_totals": (
             f"SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT token) AS distinct_tokens "
             f"FROM ({words}) w WHERE token <> ''"
+        ),
+        "token_f2": (
+            f"SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2 FROM ("
+            f"SELECT COUNT(*) AS cnt FROM ({words}) w "
+            "WHERE token <> '' GROUP BY token) t"
         ),
         "heavy_hitters": (
             f"SELECT token, COUNT(*) AS cnt FROM ({words}) w "

@@ -132,6 +132,31 @@ def token_totals(sf_dir: str):
     )
 
 
+def token_f2(sf_dir: str) -> pd.DataFrame:
+    """Exact second frequency moment F2 = Σ_token cnt² (one row).
+
+    The ground truth for the Count-Sketch / AMS estimator
+    (:mod:`..state.countsketch`): per-block partial Σcnt² over the
+    memoized vocabulary table, then a scalar Sum — the driver receives
+    one int; the vocabulary never lands on it.  F2 fits int64 far past
+    this scale (F2 <= N² needs N > 3e9 *on one token* to overflow).
+    """
+    from ray.data.aggregate import Sum
+
+    def sq(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array([int(np.dot(c, c))], pa.int64())], names=["f2_partial"]
+        )
+
+    agg = (
+        token_counts(sf_dir)
+        .map_batches(sq, batch_format="pyarrow")
+        .aggregate(Sum("f2_partial", alias_name="f2"))
+    )
+    return pd.DataFrame({"f2": [int(agg["f2"])]})
+
+
 def heavy_hitters(sf_dir: str, threshold: int = 100):
     """Words with exact count >= threshold (the heavy-hitter set CMS
     point queries are validated against)."""

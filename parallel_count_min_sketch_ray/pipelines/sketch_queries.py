@@ -258,6 +258,32 @@ def topk_words(sf_dir: str, m: int = 10) -> pd.DataFrame:
     )
 
 
+def countsketch_word_estimates(sf_dir: str) -> pd.DataFrame:
+    """Unbiased signed point estimates + AMS F2 over the token stream
+    (:mod:`..state.countsketch` — the Count-Sketch sibling the
+    reference lacks).  Estimates may be negative (unbiasedness);
+    `error_bound` is the sketch's own sqrt(3·F2/w) radius.  The
+    F2-vs-exact and per-word-bound contracts are asserted in pytest
+    (deterministic but not SQL-expressible → rows-only check)."""
+    from parallel_count_min_sketch_ray.state.countsketch import CountSketch
+
+    ds = tokenized_documents(sf_dir)
+    rep = build_sketches(
+        ds, [SketchSpec("csk", CountSketch(width=8192, depth=7, seed=SEED), "tokens")]
+    )
+    sk = rep["csk"]
+    ids = np.array([djb2(w) & 0x7FFFFFFF for w in PROBE_WORDS], dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "word": PROBE_WORDS,
+            "estimate": sk.query(ids),
+            "f2_estimate": np.int64(sk.estimate_f2()),
+            "error_bound": np.float64(round(sk.error_bound(), 2)),
+            "total_tokens": np.int64(sk.total),
+        }
+    )
+
+
 def checkpointed_lineage(sf_dir: str, ckpt_dir: str | None = None) -> pd.DataFrame:
     """Flagship resumable build over documents; returns per-partition
     lineage (partition_id, rows, items, resumed)."""

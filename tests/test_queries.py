@@ -57,6 +57,7 @@ def _to_pandas(res):
     [
         "token_counts",
         "token_totals",
+        "token_f2",
         "doc_token_stats",
         "events_hourly",
         "pricing_summary",
@@ -89,6 +90,34 @@ def test_cms_word_estimates_bounds(ray_session, con):
         true = exact.get(word, 0)
         assert row["estimate"] >= true, word
         assert row["estimate"] <= true + row["error_bound"], word
+
+
+def test_countsketch_word_estimates_bounds(ray_session, con):
+    """Signed estimates land within the sketch's own sqrt(3*F2/w)
+    radius of the exact counts, and the AMS F2 estimate tracks the
+    exact F2 of the token stream."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        countsketch_word_estimates,
+    )
+
+    est = countsketch_word_estimates(SF_UNIT).set_index("word")
+    exact = dict(
+        con.sql(
+            "SELECT token, COUNT(*) FROM (SELECT unnest(string_split(text,' ')) AS token "
+            "FROM documents) t WHERE token <> '' GROUP BY token"
+        ).fetchall()
+    )
+    f2_exact = con.sql(
+        "SELECT SUM(cnt * cnt) FROM (SELECT COUNT(*) AS cnt FROM "
+        "(SELECT unnest(string_split(text,' ')) AS token FROM documents) t "
+        "WHERE token <> '' GROUP BY token) s"
+    ).fetchone()[0]
+    f2_est = int(est["f2_estimate"].iloc[0])
+    # AMS concentration (stream is djb2-hashed: collisions only raise F2)
+    assert abs(f2_est - f2_exact) / f2_exact <= 0.10
+    for word, row in est.iterrows():
+        true = exact.get(word, 0)
+        assert abs(row["estimate"] - true) <= row["error_bound"], word
 
 
 def test_hll_and_kll_queries_vs_exact(ray_session, con):

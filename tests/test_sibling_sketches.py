@@ -368,3 +368,84 @@ def test_kmv_distinct_estimate_and_sample_properties():
 
     with pytest.raises(ValueError, match="k must be"):
         BottomKSketch(k=2)
+
+
+# ---- Count-Sketch (signed / unbiased CMS sibling) ------------------------
+
+
+def test_countsketch_unbiased_estimates_within_f2_bound():
+    """Every point estimate lands within sqrt(3*F2/w) of the truth and
+    the signed errors center on zero (the unbiasedness contract the
+    CMS cannot offer)."""
+    from parallel_count_min_sketch_ray.state.countsketch import CountSketch
+
+    rng = np.random.default_rng(0)
+    items = (rng.zipf(1.3, size=200_000) % 50_000).astype(np.int64)
+    sk = CountSketch(width=4096, depth=7, seed=1)
+    sk.update(items)
+    uniq, cnt = np.unique(items, return_counts=True)
+    est = sk.query(uniq)
+    f2 = int(np.dot(cnt.astype(object), cnt.astype(object)))
+    bound = np.sqrt(3.0 * f2 / sk.width)
+    err = est - cnt
+    assert np.abs(err).max() <= bound
+    # unbiased: mean signed error is tiny relative to the bound
+    assert abs(err.mean()) <= 0.05 * bound
+    # one-sided is specifically NOT guaranteed: some estimates undershoot
+    assert (err < 0).any() and (err > 0).any()
+
+
+def test_countsketch_f2_and_inner_product_vs_exact():
+    from parallel_count_min_sketch_ray.state.countsketch import CountSketch
+
+    rng = np.random.default_rng(5)
+    a_items = rng.integers(0, 5_000, size=80_000)
+    b_items = rng.integers(2_500, 7_500, size=80_000)
+    a = CountSketch(width=8192, depth=7, seed=2)
+    b = a.empty_like()
+    a.update(a_items)
+    b.update(b_items)
+    ua, ca = np.unique(a_items, return_counts=True)
+    ub, cb = np.unique(b_items, return_counts=True)
+    f2 = int(np.dot(ca.astype(object), ca.astype(object)))
+    assert abs(a.estimate_f2() - f2) / f2 <= 0.05  # AMS concentration
+    # exact <f, g> via aligned counts
+    common, ia, ib = np.intersect1d(ua, ub, return_indices=True)
+    ip = int(np.dot(ca[ia].astype(object), cb[ib].astype(object)))
+    # unbiased join-size estimate: within sqrt(3*F2a*F2b)/w-ish radius;
+    # use a generous 10% relative tolerance on this synthetic overlap
+    assert abs(a.inner_product(b) - ip) / ip <= 0.10
+
+
+def test_countsketch_merge_bit_exact_serde_and_guards():
+    from parallel_count_min_sketch_ray.state.base import sketch_from_bytes
+    from parallel_count_min_sketch_ray.state.countsketch import CountSketch
+
+    rng = np.random.default_rng(9)
+    items = rng.integers(0, 10_000, size=50_000)
+    whole = CountSketch(width=1024, depth=5, seed=3)
+    whole.update(items)
+    for cut in (1, 7_777, 49_999):
+        a, b = whole.empty_like(), whole.empty_like()
+        a.update(items[:cut])
+        b.update(items[cut:])
+        assert a.merge(b) == whole  # signed integer adds commute: bit-exact
+    # weighted update == repeated stream
+    uniq, cnt = np.unique(items, return_counts=True)
+    w = whole.empty_like()
+    w.update(uniq, cnt.astype(np.int64))
+    assert w == whole
+    # serde
+    assert sketch_from_bytes(whole.to_bytes()) == whole
+    # guards
+    with pytest.raises(ValueError, match="odd"):
+        CountSketch(depth=4)
+    with pytest.raises(ValueError, match="incompatible|cannot merge"):
+        CountSketch(seed=1).merge(CountSketch(seed=2))
+    with pytest.raises(ValueError, match="integer"):
+        whole.update(np.array([1]), np.array([1.5]))
+    assert "f2_estimate" in whole.describe()
+    # string adapter matches the int path on djb2-hashed ids
+    s = CountSketch(width=512, depth=5, seed=4)
+    s.update_strings(["alpha", "beta", "alpha"])
+    assert s.query_string("alpha") >= 1 or s.total == 3

@@ -258,6 +258,62 @@ def topk_words(sf_dir: str, m: int = 10) -> pd.DataFrame:
     )
 
 
+def source_shingle_overlap(
+    sf_dir: str, k: int = 1024, shingle_k: int = 3
+) -> pd.DataFrame:
+    """Pairwise corpus overlap between sources: per-source KMV sketches
+    over 3-gram shingle hashes, then KMV set operations (union /
+    intersection / Jaccard, Beyer et al. 2007) for every source pair —
+    the contamination / provenance-overlap check a training-data
+    pipeline runs across its crawl sources.
+
+    One streaming pass + one keyed blob merge builds all P sketches;
+    the driver then does P(P-1)/2 pairwise estimates over fixed k-word
+    samples (P = #sources is small here; at thousands of sources the
+    pairwise step itself would move into a map over source pairs).
+    Deterministic but not SQL-expressible → rows-only check; the
+    estimate-vs-exact tolerance is asserted in pytest.
+    """
+    from parallel_count_min_sketch_ray.pipelines.dedup import (
+        _shingle_list_array,
+        shingle_hashes,
+    )
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        build_sketches_by_key,
+    )
+    from parallel_count_min_sketch_ray.state.kmv import BottomKSketch
+
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        sh = shingle_hashes(batch["text"].to_pylist(), shingle_k)
+        return pa.Table.from_arrays(
+            [batch["source"], _shingle_list_array(sh)],
+            names=["source", "shingles"],
+        )
+
+    ds = read(sf_dir, "documents", ["text", "source"]).map_batches(
+        to_shingles, batch_format="pyarrow"
+    )
+    grouped = build_sketches_by_key(
+        ds,
+        "source",
+        [SketchSpec("kmv", BottomKSketch(k=k, seed=SEED), "shingles", kind="list")],
+    )
+    srcs = sorted(grouped)
+    rows = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            est = grouped[sa]["kmv"].set_estimates(grouped[sb]["kmv"])
+            rows.append(
+                (sa, sb, round(est["jaccard"], 6),
+                 round(est["union"], 1), round(est["intersection"], 1))
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["source_a", "source_b", "jaccard_est", "union_est",
+                 "intersection_est"],
+    )
+
+
 def countsketch_word_estimates(sf_dir: str) -> pd.DataFrame:
     """Unbiased signed point estimates + AMS F2 over the token stream
     (:mod:`..state.countsketch` — the Count-Sketch sibling the

@@ -104,6 +104,44 @@ class BottomKSketch:
     def relative_error(self) -> float:
         return 1.0 / np.sqrt(max(self.k - 2, 1))
 
+    def set_estimates(self, other: "BottomKSketch") -> dict:
+        """KMV set operations (Beyer et al. 2007, SIGMOD): union /
+        intersection / Jaccard estimates between two same-identity
+        sketches, WITHOUT merging either.
+
+        Estimator: let K = bottom-k of the union of the two kept hash
+        sets.  Every h in K that belongs to set A is necessarily in A's
+        sample (h is among the k smallest of the union, hence among the
+        k smallest of A), so membership tests against the samples are
+        exact.  Then
+
+        - ``jaccard = |K ∩ A-sample ∩ B-sample| / |K|`` (ratio
+          estimator, stderr ~ sqrt(J(1-J)/k));
+        - ``union = (k-1)/U_(k)`` over the combined bottom-k (exact
+          when BOTH sketches are under-full — every key was kept);
+        - ``intersection = jaccard * union``.
+        """
+        base.check_compatible(self, other, self._IDENTITY)
+        allh = np.union1d(self.hashes, other.hashes)  # sorted distinct
+        kept = allh[: self.k]
+        if kept.size == 0:
+            return {"union": 0.0, "intersection": 0.0, "jaccard": 0.0}
+        in_a = np.isin(kept, self.hashes, assume_unique=True)
+        in_b = np.isin(kept, other.hashes, assume_unique=True)
+        k_inter = int((in_a & in_b).sum())
+        exact = self.hashes.size < self.k and other.hashes.size < other.k
+        if exact or allh.size < self.k:
+            union_est = float(allh.size)
+        else:
+            u_k = (float(kept[-1]) + 1.0) / 2.0**64
+            union_est = (self.k - 1) / u_k
+        jaccard = k_inter / kept.size
+        return {
+            "union": union_est,
+            "intersection": jaccard * union_est,
+            "jaccard": jaccard,
+        }
+
     def contains(self, key: int) -> bool:
         """Membership in the kept sample."""
         return bool(np.isin(np.int64(key), self.keys))

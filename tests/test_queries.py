@@ -656,3 +656,30 @@ def test_label_propagation_matches_union_find(ray_session):
     lp = label_propagation_components(pairs)
     assert lp == uf
     assert label_propagation_components(pairs.iloc[:0]) == {}
+
+
+def test_source_shingle_overlap_vs_exact(ray_session, con):
+    """KMV pairwise source-overlap estimates track the exact shingle-set
+    relations within the sampling tolerance, for every source pair."""
+    from parallel_count_min_sketch_ray.pipelines.dedup import shingle_hashes
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        source_shingle_overlap,
+    )
+
+    est = source_shingle_overlap(SF_UNIT, k=1024)
+    docs = con.sql("SELECT source, text FROM documents").fetchall()
+    per_source: dict[str, set] = {}
+    for src, text in docs:
+        hs = shingle_hashes([text], 3)[0]
+        per_source.setdefault(src, set()).update(int(h) for h in hs)
+    k = 1024
+    for _, row in est.iterrows():
+        a, b = per_source[row["source_a"]], per_source[row["source_b"]]
+        union, inter = len(a | b), len(a & b)
+        true_j = inter / union if union else 0.0
+        sigma = np.sqrt(max(true_j * (1 - true_j), 0.25 / k) / k)
+        assert abs(row["jaccard_est"] - true_j) <= 5 * sigma + 1e-6, (
+            row["source_a"], row["source_b"])
+        if union:
+            assert abs(row["union_est"] - union) / union <= 5 / np.sqrt(k - 2)
+    assert len(est) == len(per_source) * (len(per_source) - 1) // 2

@@ -449,3 +449,44 @@ def test_countsketch_merge_bit_exact_serde_and_guards():
     s = CountSketch(width=512, depth=5, seed=4)
     s.update_strings(["alpha", "beta", "alpha"])
     assert s.query_string("alpha") >= 1 or s.total == 3
+
+
+def test_kmv_set_estimates_vs_exact():
+    """Union / intersection / Jaccard estimates (Beyer et al. 2007)
+    track the exact set relations within 4x the sampling stderr, on
+    both the over-full (estimating) and under-full (exact) paths."""
+    from parallel_count_min_sketch_ray.state.kmv import BottomKSketch
+
+    rng = np.random.default_rng(12)
+    universe = rng.choice(10_000_000, size=60_000, replace=False)
+    a_keys = universe[:40_000]
+    b_keys = universe[20_000:]  # overlap = 20_000, union = 60_000
+    k = 2048
+    a, b = BottomKSketch(k=k, seed=6), BottomKSketch(k=k, seed=6)
+    a.update(a_keys)
+    b.update(np.repeat(b_keys, 2))  # multiplicity must not matter
+    est = a.set_estimates(b)
+    true_j = 20_000 / 60_000
+    sigma_j = np.sqrt(true_j * (1 - true_j) / k)
+    assert abs(est["jaccard"] - true_j) <= 4 * sigma_j
+    assert abs(est["union"] - 60_000) / 60_000 <= 4 / np.sqrt(k - 2)
+    assert abs(est["intersection"] - 20_000) / 20_000 <= 0.1
+    # symmetric
+    rev = b.set_estimates(a)
+    assert rev == est
+    # under-full: exact
+    sa, sb = BottomKSketch(k=k, seed=6), BottomKSketch(k=k, seed=6)
+    sa.update(np.arange(100))
+    sb.update(np.arange(50, 150))
+    ex = sa.set_estimates(sb)
+    assert ex["union"] == 150.0 and ex["jaccard"] == 50 / 150
+    assert abs(ex["intersection"] - 50.0) < 1e-9
+    # identity guard
+    with pytest.raises(ValueError):
+        a.set_estimates(BottomKSketch(k=k, seed=7))
+    # disjoint sets -> zero overlap
+    d1, d2 = BottomKSketch(k=64, seed=1), BottomKSketch(k=64, seed=1)
+    d1.update(np.arange(0, 1000))
+    d2.update(np.arange(1_000_000, 1_001_000))
+    dz = d1.set_estimates(d2)
+    assert dz["jaccard"] == 0.0 and dz["intersection"] == 0.0

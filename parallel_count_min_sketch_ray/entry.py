@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_totals": analytics.token_totals,
         "token_f2": analytics.token_f2,
         "heavy_hitters": analytics.heavy_hitters,
+        "top_terms_per_source": analytics.top_terms_per_source,
         "doc_token_stats": analytics.doc_token_stats,
         "lang_source_counts": analytics.lang_source_counts,
         "dedup_exact": analytics.dedup_exact,
@@ -168,6 +169,16 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": (
             f"SELECT token, COUNT(*) AS cnt FROM ({words}) w "
             "WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 100"
+        ),
+        "top_terms_per_source": (
+            "SELECT source, token, cnt, rnk FROM ("
+            "SELECT source, token, cnt, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY cnt DESC, token) AS BIGINT) AS rnk FROM ("
+            "SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM (SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents) w WHERE token <> '' "
+            "GROUP BY source, token) g) t WHERE rnk <= 5"
         ),
         "doc_token_stats": (
             "SELECT doc_id, "

@@ -157,6 +157,71 @@ def token_f2(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"f2": [int(agg["f2"])]})
 
 
+def top_terms_per_source(sf_dir: str, k: int = 5):
+    """Exact top-k terms per source with deterministic ranking
+    (cnt DESC, token ASC) — the distributed per-group top-k pattern.
+
+    Topology (scale-shaped; no full sort, no per-group row shuffle):
+
+    1. per-block partial counts of packed ``source\\x1ftoken`` keys
+       (combiner — the shuffle moves one row per (block, source, word),
+       and the single packed key avoids Ray 2.49's slow multi-key
+       aggregate path);
+    2. ``groupby(key).Sum`` → exact global counts, one row per
+       (source, token);
+    3. per-block PRUNE to each source's local top-k (valid because
+       counts are final and the global top-k of a union is a subset of
+       the union of local top-ks);
+    4. tiny ``groupby(source).map_groups`` final ranking over
+       ≤ k·num_blocks candidate rows per source.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = textops.split_words(batch["text"])
+        n = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        src_rep = pa.array(
+            np.repeat(src.to_numpy(zero_copy_only=False), n.astype(np.int64))
+        )
+        packed = pc.binary_join_element_wise(src_rep, lists.flatten(), "\x1f")
+        vc = packed.value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["key", "cnt"],
+        )
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        split = batch["key"].str.split("\x1f", n=1, expand=True)
+        out = pd.DataFrame(
+            {"source": split[0], "token": split[1], "cnt": batch["cnt"]}
+        )
+        return (
+            out.sort_values(["source", "cnt", "token"],
+                            ascending=[True, False, True])
+            .groupby("source", sort=False)
+            .head(k)
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    return (
+        read(sf_dir, "documents", ["text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(prune, batch_format="pandas")
+        .groupby("source")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
 def heavy_hitters(sf_dir: str, threshold: int = 100):
     """Words with exact count >= threshold (the heavy-hitter set CMS
     point queries are validated against)."""

@@ -58,6 +58,7 @@ def _to_pandas(res):
         "token_counts",
         "token_totals",
         "token_f2",
+        "top_terms_per_source",
         "doc_token_stats",
         "events_hourly",
         "pricing_summary",

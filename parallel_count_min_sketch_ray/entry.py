@@ -66,9 +66,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_f2": analytics.token_f2,
         "heavy_hitters": analytics.heavy_hitters,
         "top_terms_per_source": analytics.top_terms_per_source,
+        "bigram_counts": analytics.bigram_counts,
         "doc_token_stats": analytics.doc_token_stats,
         "lang_source_counts": analytics.lang_source_counts,
         "dedup_exact": analytics.dedup_exact,
+        "doc_split_stats": analytics.doc_split_stats,
         "token_count_regex": textpipe.token_count_regex,
         "source_token_totals": analytics.source_token_totals,
         "clean_corpus": textpipe.clean_corpus,
@@ -89,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_join": analytics.order_lineitem_join,
         "brand_nation_revenue": analytics.brand_nation_revenue,
         "events_value_stats": analytics.events_value_stats,
+        "events_value_median": analytics.events_value_median,
         # --- embeddings (SQL-checked) ---
         "embedding_norms": ann.embedding_norms,
         "ann_topk": ann.ann_topk,
@@ -170,6 +173,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT token, COUNT(*) AS cnt FROM ({words}) w "
             "WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 100"
         ),
+        "bigram_counts": (
+            "SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) "
+            "AS bigram FROM (SELECT list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS ws FROM documents) d) b "
+            "GROUP BY bigram HAVING COUNT(*) >= 20"
+        ),
         "top_terms_per_source": (
             "SELECT source, token, cnt, rnk FROM ("
             "SELECT source, token, cnt, "
@@ -201,6 +211,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc_id, "
             "COUNT(*) AS dup_cnt FROM documents GROUP BY md5(text)"
+        ),
+        "doc_split_stats": (
+            "SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 100 < 90 THEN 'train' ELSE 'val' END AS split, "
+            "source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) "
+            "AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY 1, 2"
         ),
         "token_count_regex": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
@@ -324,6 +342,11 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
             "JOIN nation n ON s.s_nationkey = n.n_nationkey "
             "GROUP BY p.p_brand, n.n_name"
+        ),
+        "events_value_median": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "median(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS value_median "
+            "FROM events GROUP BY event_type"
         ),
         "events_value_stats": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "

@@ -232,6 +232,55 @@ def heavy_hitters(sf_dir: str, threshold: int = 100):
     )
 
 
+def bigram_counts(sf_dir: str, threshold: int = 20):
+    """Exact within-document bigram (adjacent word pair) counts with
+    cnt >= threshold — token co-occurrence, the input to collocation /
+    PMI analysis.
+
+    Vectorized pair construction: one Arrow join over the flat word
+    stream shifted by one, with document boundaries masked out via the
+    list offsets — no per-row Python.  Same combiner→groupby topology
+    as ``token_counts`` (the shuffle moves per-block distinct bigrams).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = textops.split_words(batch["text"])
+        flat = lists.flatten()
+        total = len(flat)
+        if total < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        big = pc.binary_join_element_wise(
+            flat.slice(0, total - 1), flat.slice(1, total - 1), " "
+        )
+        # a pair spanning two documents is not a bigram: mask positions
+        # whose successor is a document start
+        valid = np.ones(total - 1, dtype=bool)
+        b = np.asarray(lists.offsets, dtype=np.int64)[1:-1]
+        b = b[(b >= 1) & (b <= total - 1)]
+        valid[b - 1] = False
+        vc = big.filter(pa.array(valid)).value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["bigram", "cnt"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cnt"], threshold)),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def doc_token_stats(sf_dir: str):
     """Per-doc exact stats: n_tok, chars sans spaces, avg word length."""
 
@@ -292,6 +341,48 @@ def source_token_totals(sf_dir: str):
     )
 
 
+def doc_split_stats(sf_dir: str, train_pct: int = 90):
+    """Deterministic content-independent train/val split + per-split
+    rollup — the reproducible-split pattern for training corpora: the
+    assignment is a pure function of ``md5(doc_id)``, so any node (or
+    any rerun, or the SQL oracle) derives the identical split with no
+    coordination, no stored assignment table, and no RNG state.
+
+    Returns (split, source, n_docs, n_tokens) — exact, SQL-checked.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        digests = textops.md5_digests([str(i) for i in ids])
+        bucket = np.fromiter(
+            (int(d[:8], 16) % 100 for d in digests), dtype=np.int64,
+            count=len(digests),
+        )
+        split = np.where(bucket < train_pct, "train", "val")
+        n = textops.word_count(batch["text"])
+        t = pa.table(
+            {
+                "split": pa.array(split.tolist(), pa.string()),
+                "source": batch["source"],
+                "n_docs": pa.array(np.ones(len(n), dtype=np.int64)),
+                "n_tokens": pa.array(n),
+            }
+        )
+        return _group_sum(t, ["split", "source"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        read(sf_dir, "documents", ["doc_id", "text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+    )
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup by content digest: one representative (min doc_id)
     per distinct text + duplicate count.
@@ -320,6 +411,64 @@ def dedup_exact(sf_dir: str):
 # ---------------------------------------------------------------------------
 # events: windowed aggregates + sessionization
 # ---------------------------------------------------------------------------
+
+
+def events_value_median(sf_dir: str):
+    """EXACT per-type median without a global sort: distributed
+    histogram over integer cents.
+
+    Values are dollars-and-cents, so ``round(value*100)`` discretizes
+    losslessly; the pipeline counts (event_type, cents) per block
+    (combiner), Sum-reduces the histogram, and a per-type map_groups
+    walks the cumulative counts to the middle — the shuffle moves one
+    row per (block, type, distinct cent), never event rows.  This is
+    the exact-quantile-at-scale pattern: a 100 TB value column with a
+    bounded value domain reduces to a tiny histogram regardless of N.
+    Median convention matches SQL: mean of the two middle values when
+    the count is even.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cents": pa.array(cents),
+                "cnt": pa.array(np.ones(len(cents), dtype=np.int64)),
+            }
+        )
+        return _group_sum(t, ["event_type", "cents"])
+
+    def median_of_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        c = g["cnt"].to_numpy()
+        cents = g["cents"].to_numpy()
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        hi = cents[np.searchsorted(cum, n // 2 + 1)]
+        if n % 2:
+            med = float(hi)
+        else:
+            lo = cents[np.searchsorted(cum, n // 2)]
+            med = (float(lo) + float(hi)) / 2.0
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "cnt": np.array([n], dtype=np.int64),
+                "value_median": [med / 100.0],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("event_type")
+        .map_groups(median_of_hist, batch_format="pandas")
+    )
 
 
 def events_hourly(sf_dir: str):

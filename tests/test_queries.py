@@ -59,6 +59,9 @@ def _to_pandas(res):
         "token_totals",
         "token_f2",
         "top_terms_per_source",
+        "doc_split_stats",
+        "events_value_median",
+        "bigram_counts",
         "doc_token_stats",
         "events_hourly",
         "pricing_summary",

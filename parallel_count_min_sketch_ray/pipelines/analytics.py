@@ -419,13 +419,16 @@ def events_value_median(sf_dir: str):
 
     Values are dollars-and-cents, so ``round(value*100)`` discretizes
     losslessly; the pipeline counts (event_type, cents) per block
-    (combiner), Sum-reduces the histogram, and a per-type map_groups
-    walks the cumulative counts to the middle — the shuffle moves one
-    row per (block, type, distinct cent), never event rows.  This is
-    the exact-quantile-at-scale pattern: a 100 TB value column with a
-    bounded value domain reduces to a tiny histogram regardless of N.
-    Median convention matches SQL: mean of the two middle values when
-    the count is even.
+    (combiner), then ONE ``groupby(event_type).map_groups`` folds the
+    per-block partial histograms and walks the cumulative counts to
+    the middle — the shuffle moves one row per (block, type, distinct
+    cent), never event rows.  This is the exact-quantile-at-scale
+    pattern: a 100 TB value column with a bounded value domain reduces
+    to a tiny histogram regardless of N.  (A single-key group over the
+    partials beats ``groupby([type, cents]).Sum`` + a second group —
+    Ray 2.49's multi-key aggregate path is slow and the second shuffle
+    buys nothing the in-group fold doesn't do.)  Median convention
+    matches SQL: mean of the two middle values when the count is even.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -439,17 +442,21 @@ def events_value_median(sf_dir: str):
         )
         return _group_sum(t, ["event_type", "cents"])
 
-    def median_of_hist(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("cents")
-        c = g["cnt"].to_numpy()
+    def median_of_partials(g: pd.DataFrame) -> pd.DataFrame:
         cents = g["cents"].to_numpy()
-        n = int(c.sum())
-        cum = np.cumsum(c)
-        hi = cents[np.searchsorted(cum, n // 2 + 1)]
+        c = g["cnt"].to_numpy()
+        order = np.argsort(cents, kind="stable")
+        cents, c = cents[order], c[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(cents)) + 1]
+        u = cents[starts]
+        sums = np.add.reduceat(c, starts)
+        n = int(sums.sum())
+        cum = np.cumsum(sums)
+        hi = u[np.searchsorted(cum, n // 2 + 1)]
         if n % 2:
             med = float(hi)
         else:
-            lo = cents[np.searchsorted(cum, n // 2)]
+            lo = u[np.searchsorted(cum, n // 2)]
             med = (float(lo) + float(hi)) / 2.0
         return pd.DataFrame(
             {
@@ -459,15 +466,11 @@ def events_value_median(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Sum
-
     return (
         read(sf_dir, "events", ["event_type", "value"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "cents"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
         .groupby("event_type")
-        .map_groups(median_of_hist, batch_format="pandas")
+        .map_groups(median_of_partials, batch_format="pandas")
     )
 
 

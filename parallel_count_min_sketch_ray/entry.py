@@ -72,10 +72,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": analytics.dedup_exact,
         "doc_split_stats": analytics.doc_split_stats,
         "token_count_regex": textpipe.token_count_regex,
+        "decontaminate_ngram": textpipe.decontaminate_ngram,
         "source_token_totals": analytics.source_token_totals,
         "clean_corpus": textpipe.clean_corpus,
         # --- events: windows / sessions / topk (SQL-checked) ---
         "events_hourly": analytics.events_hourly,
+        "events_value_hour_corr": analytics.events_value_hour_corr,
         "events_sessions": analytics.events_sessions,
         "events_lag": analytics.events_lag,
         "events_sliding": analytics.events_sliding,
@@ -225,6 +227,26 @@ def oracle_sql() -> dict[str, str]:
             r"'[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens "
             "FROM documents"
         ),
+        # cross-split 8-gram decontamination: train docs sharing any
+        # full 8-gram with a val doc (split = md5(doc_id) bucket);
+        # mirrors pipelines/textpipe.py::decontaminate_ngram
+        "decontaminate_ngram": (
+            "WITH d AS (SELECT doc_id, source, text, "
+            "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 100 < 90 THEN 'train' ELSE 'val' END AS split "
+            "FROM documents), "
+            "w AS (SELECT doc_id, source, split, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS words FROM d), "
+            "s AS (SELECT doc_id, source, split, "
+            "array_to_string(words[i:i+7], ' ') AS sh "
+            "FROM w, unnest(range(1, len(words) - 6)) AS t(i) "
+            "WHERE len(words) >= 8) "
+            "SELECT t.source, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) "
+            "AS contaminated_docs "
+            "FROM s t WHERE t.split = 'train' "
+            "AND t.sh IN (SELECT sh FROM s WHERE split = 'val') "
+            "GROUP BY t.source"
+        ),
         # quality filter -> exact dedup (min doc_id representative) ->
         # per-(lang, source) rollup; mirrors pipelines/textpipe.py::clean_corpus
         "clean_corpus": (
@@ -238,6 +260,21 @@ def oracle_sql() -> dict[str, str]:
             "k AS (SELECT q.* FROM q JOIN d ON q.doc_id = d.keep_id) "
             "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_words) AS BIGINT) AS n_tokens FROM k GROUP BY lang, source"
+        ),
+        # exact mergeable moments -> Pearson corr(hour-of-day, cents);
+        # the double-precision expression mirrors analytics.py::finish
+        # term for term so the float result is bit-identical
+        "events_value_hour_corr": (
+            "WITH b AS (SELECT event_type, "
+            "CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS x, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS y FROM events), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx, "
+            "CAST(SUM(y*y) AS BIGINT) AS syy FROM b GROUP BY event_type) "
+            "SELECT event_type, n, CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) "
+            "AS corr_value_hour FROM m"
         ),
         "events_hourly": (
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "

@@ -108,6 +108,18 @@ def quality_metrics(batch: pa.Table, text_col: str = "text") -> dict[str, np.nda
     }
 
 
+def split_buckets(ids) -> np.ndarray:
+    """Deterministic content-independent split bucket per id:
+    ``int(md5(str(id))[:8], 16) % 100`` — any node, any rerun, and the
+    SQL oracle (``CAST('0x'||substr(md5(CAST(id AS VARCHAR)),1,8) AS
+    BIGINT) % 100``) derive the identical assignment with no stored
+    split table and no RNG state."""
+    digests = md5_digests([str(i) for i in ids])
+    return np.fromiter(
+        (int(d[:8], 16) % 100 for d in digests), dtype=np.int64, count=len(digests)
+    )
+
+
 def language_id(batch: pa.Table, text_col: str = "text") -> np.ndarray:
     """n-gram-free heuristic language ID: stopword-hit ratio → 'en',
     else 'other'.  Deterministic; a stand-in for a fasttext-style model

@@ -353,11 +353,7 @@ def doc_split_stats(sf_dir: str, train_pct: int = 90):
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        digests = textops.md5_digests([str(i) for i in ids])
-        bucket = np.fromiter(
-            (int(d[:8], 16) % 100 for d in digests), dtype=np.int64,
-            count=len(digests),
-        )
+        bucket = textops.split_buckets(ids)
         split = np.where(bucket < train_pct, "train", "val")
         n = textops.word_count(batch["text"])
         t = pa.table(
@@ -471,6 +467,63 @@ def events_value_median(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
         .map_groups(median_of_partials, batch_format="pandas")
+    )
+
+
+def events_value_hour_corr(sf_dir: str):
+    """Pearson correlation of (hour-of-day, value) per event_type via
+    EXACT mergeable moments — the one-pass distributed-statistics
+    pattern: each block emits integer partial moments (n, Σx, Σy, Σxy,
+    Σx², Σy²) per key, a single groupby Sum-combines them (moments are
+    associative), and one tiny final map computes the ratio.  No second
+    pass, no mean-centering pass, no float accumulation drift: both
+    sides sum exact int64s (x = hour-of-day 0–23, y = integer cents)
+    and perform the identical double-precision expression at the end,
+    so the result is bit-comparable with the SQL oracle.
+
+    At extreme scale Σy² can exceed int64 (~1e12 rows at 100-cent
+    values); split the accumulator into (hi, lo) int64 limbs then —
+    the topology is unchanged.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (ts_us // 3_600_000_000) % 24
+        y = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+            }
+        )
+        return _group_sum(t, ["event_type"])
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].sum()
+        sx, sy = g["sx"].sum(), g["sy"].sum()
+        sxy, sxx, syy = g["sxy"].sum(), g["sxx"].sum(), g["syy"].sum()
+        # same expression, same order as the SQL oracle -> bit-identical
+        corr = float(n * sxy - sx * sy) / np.sqrt(
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [int(n)],
+                "corr_value_hour": [corr],
+            }
+        )
+
+    return (
+        read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pandas")
     )
 
 

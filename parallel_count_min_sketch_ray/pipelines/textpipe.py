@@ -1,6 +1,7 @@
 """Text-analysis pipelines over documents: language ID, quality
-scoring, regex token counting, fingerprinting — the per-document
-stages a training-data pipeline runs before/alongside the sketches."""
+scoring, regex token counting, fingerprinting, cross-split n-gram
+decontamination — the per-document stages a training-data pipeline
+runs before/alongside the sketches."""
 
 from __future__ import annotations
 
@@ -8,8 +9,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 from parallel_count_min_sketch_ray.functions import textops
-from parallel_count_min_sketch_ray.pipelines.analytics import read
+from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
+from parallel_count_min_sketch_ray.pipelines.analytics import _group_sum, read
 
 # BPE-ish word/number/punct tokens; RE2 syntax valid for both pyarrow
 # and DuckDB's regexp_extract_all (oracle parity).
@@ -75,6 +79,170 @@ def doc_fingerprints(sf_dir: str, window: int = 8):
 
     return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-split n-gram decontamination (Bloom prefilter + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def _full_windows(texts: list[str], w: int) -> tuple[list[str], np.ndarray]:
+    """All FULL w-word windows per doc (docs with < w words emit none —
+    matching the oracle's ``len(words) >= w`` gate).  Returns (flat
+    window list, per-doc window counts)."""
+    wins: list[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        if len(ws) >= w:
+            win = textops.word_windows(ws, w)
+            wins.extend(win)
+            counts[i] = len(win)
+    return wins, counts
+
+
+_bloom_cache: dict[str, object] = {}
+
+
+def _bloom_from_ref(ref) -> "object":
+    """Per-worker-process deserialize-once cache for a broadcast Bloom.
+
+    ``ray.get`` on the same ObjectRef is plasma-cached (zero-copy
+    bytes); this caches the *deserialized* filter so each batch pays a
+    dict lookup, not a bits-array copy."""
+    from parallel_count_min_sketch_ray.state.bloom import BloomFilter
+
+    key = ref.hex()
+    b = _bloom_cache.get(key)
+    if b is None:
+        b = BloomFilter.from_bytes(ray.get(ref))
+        _bloom_cache.clear()
+        _bloom_cache[key] = b
+    return b
+
+
+def decontaminate_ngram(sf_dir: str, w: int = 8, train_pct: int = 90):
+    """Cross-split n-gram decontamination, EXACT: train-split documents
+    sharing any full ``w``-gram with any val-split document, counted per
+    source.  This is the production eval-decontamination pattern
+    (benchmark n-gram overlap checks) expressed Ray-Data-first:
+
+    1. one scan emits the val side's per-batch-distinct shingles — a
+       *dataset* (never driver state);
+    2. a Bloom filter over the val shingle hashes is built with the
+       bounded-fan-in merge tree (``build_sketches``) and broadcast
+       ONCE via ``ray.put``;
+    3. the train side prefilters its shingles against the Bloom inside
+       ``map_batches`` — only Bloom-hit (doc, shingle) rows survive
+       (true overlaps + <= fp_rate of the stream, zero false
+       negatives);
+    4. an exact hash-join of the candidates against the distinct val
+       shingles removes the Bloom false positives — output is exact.
+
+    Scale shape: the train-side shingle stream (≈ the corpus token
+    count) never enters a shuffle — only candidates do (∝ true
+    contamination + 1%), so the all-to-all volume is contamination-
+    proportional, not corpus-proportional.  The val side (10% of the
+    corpus) pays one groupby to dedupe the join build side; a hot
+    boilerplate shingle therefore joins once, not once per val doc.
+    At extreme scale, shard the Bloom by shingle-hash prefix and route
+    each train block through its shard's filter.
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        SketchSpec,
+        build_sketches,
+    )
+    from parallel_count_min_sketch_ray.state.bloom import BloomFilter
+
+    def val_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = textops.split_buckets(ids) >= train_pct
+        texts = [t for t, m in zip(batch["text"].to_pylist(), mask) if m]
+        wins, _ = _full_windows(texts, w)
+        uniq = pc.unique(pa.array(wins, pa.string()))
+        return pa.table(
+            {"sh_v": uniq, "key": pa.array(hash64_strings(uniq.to_pylist()))}
+        )
+
+    docs = read(sf_dir, "documents", ["doc_id", "text", "source"])
+    val_ds = docs.map_batches(val_shingles, batch_format="pyarrow").materialize()
+    # capacity from the materialized count (cross-batch dupes only
+    # inflate it, which only lowers the realized fp rate)
+    n_val = max(1024, val_ds.count())
+    spec = SketchSpec(
+        "bloom", BloomFilter(capacity=n_val, fp_rate=0.01, seed=42), "key",
+        kind="numeric",
+    )
+    bloom = build_sketches(val_ds, [spec])["bloom"]
+    blob_ref = ray.put(bloom.to_bytes())
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = textops.split_buckets(ids) < train_pct
+        kept = batch.filter(pa.array(keep))
+        wins, counts = _full_windows(kept["text"].to_pylist(), w)
+        doc_idx = np.repeat(np.arange(kept.num_rows), counts)
+        keys = hash64_strings(wins)
+        hit = _bloom_from_ref(blob_ref).contains(keys)
+        # dedupe (doc, shingle) among the (few) hits so the join sees
+        # each pair once
+        doc_idx, keys_h = doc_idx[hit], keys[hit]
+        wins_h = [s for s, m in zip(wins, hit) if m]
+        pair = np.stack([doc_idx.astype(np.uint64), keys_h]) if keys_h.size else (
+            np.zeros((2, 0), np.uint64)
+        )
+        _, first = np.unique(pair, axis=1, return_index=True)
+        first = np.sort(first)
+        doc_idx = doc_idx[first]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    kept["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+                ),
+                "source": pa.array(
+                    kept["source"].to_numpy(zero_copy_only=False)[doc_idx],
+                    pa.string(),
+                ),
+                "sh": pa.array([wins_h[i] for i in first], pa.string()),
+            }
+        )
+
+    cand = docs.map_batches(prefilter, batch_format="pyarrow")
+    val_distinct = (
+        val_ds.groupby("sh_v")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["sh_v"])
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    num_partitions = max(2, min(4 * cpus, 1 + n_val // 2_000_000))
+    joined = cand.join(
+        val_distinct,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("sh",),
+        right_on=("sh_v",),
+    )
+
+    def per_source(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "contaminated_docs": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        return _group_sum(t, ["source"])
+
+    return (
+        joined.groupby("doc_id")
+        .aggregate(Min("source", alias_name="source"))  # distinct doc
+        .map_batches(per_source, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("contaminated_docs", alias_name="contaminated_docs"))
     )
 
 

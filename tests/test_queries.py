@@ -60,7 +60,9 @@ def _to_pandas(res):
         "token_f2",
         "top_terms_per_source",
         "doc_split_stats",
+        "decontaminate_ngram",
         "events_value_median",
+        "events_value_hour_corr",
         "bigram_counts",
         "doc_token_stats",
         "events_hourly",
@@ -327,6 +329,47 @@ def test_clean_corpus_filters_and_dedups(ray_session, tmp_path):
     assert out[["lang", "source"]].values.tolist() == [["de", "s2"], ["en", "s1"]]
     assert out["n_docs"].tolist() == [1, 1]
     assert out["n_tokens"].tolist() == [20, 21]
+
+
+def test_decontaminate_ngram_planted(ray_session, tmp_path):
+    """A train doc that quotes a full 8-gram from a val doc is flagged
+    (per source); clean train docs are not — the Bloom prefilter's
+    false positives must be removed by the exact verify join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_count_min_sketch_ray.functions.textops import split_buckets
+    from parallel_count_min_sketch_ray.pipelines.textpipe import decontaminate_ngram
+
+    ids = np.arange(400, dtype=np.int64)
+    buckets = split_buckets(ids)
+    train_ids = ids[buckets < 90]
+    val_ids = ids[buckets >= 90]
+    assert len(val_ids) >= 2 and len(train_ids) >= 10
+
+    rng = np.random.default_rng(3)
+    texts = {
+        int(i): " ".join(f"w{int(x)}" for x in rng.integers(0, 50_000, 30))
+        for i in ids
+    }
+    # plant: train doc quotes words 5..12 (a full 8-gram) of a val doc
+    leak_src, leak_dst = int(val_ids[0]), int(train_ids[0])
+    quoted = " ".join(texts[leak_src].split()[5:13])
+    texts[leak_dst] = texts[leak_dst] + " " + quoted
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array([texts[int(i)] for i in ids]),
+            "source": pa.array(
+                ["sA" if i % 2 == 0 else "sB" for i in ids], pa.string()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = decontaminate_ngram(str(tmp_path)).to_pandas()
+    expect_source = "sA" if leak_dst % 2 == 0 else "sB"
+    assert out["source"].tolist() == [expect_source]
+    assert out["contaminated_docs"].tolist() == [1]
 
 
 def test_simhash_signatures_vectorized_equals_loop():

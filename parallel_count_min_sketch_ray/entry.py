@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": analytics.doc_token_stats,
         "lang_source_counts": analytics.lang_source_counts,
         "dedup_exact": analytics.dedup_exact,
+        "doc_top_tfidf": analytics.doc_top_tfidf,
         "doc_split_stats": analytics.doc_split_stats,
         "token_count_regex": textpipe.token_count_regex,
         "decontaminate_ngram": textpipe.decontaminate_ngram,
@@ -213,6 +214,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc_id, "
             "COUNT(*) AS dup_cnt FROM documents GROUP BY md5(text)"
+        ),
+        # top-3 distinctive terms per doc, integer-exact tf-idf ordering
+        # (tf DESC, df ASC, token ASC); mirrors analytics.doc_top_tfidf
+        "doc_top_tfidf": (
+            "WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS token FROM documents), "
+            "tfx AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM w GROUP BY 1, 2), "
+            "dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tfx GROUP BY 1), "
+            "r AS (SELECT t.doc_id, t.token, t.tf, d.df, ROW_NUMBER() OVER ("
+            "PARTITION BY t.doc_id ORDER BY t.tf DESC, d.df ASC, t.token ASC) AS rk "
+            "FROM tfx t JOIN dfx d USING (token)) "
+            "SELECT doc_id, CAST(rk AS BIGINT) AS rank, token, tf, df "
+            "FROM r WHERE rk <= 3"
         ),
         "doc_split_stats": (
             "SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "

@@ -379,6 +379,117 @@ def doc_split_stats(sf_dir: str, train_pct: int = 90):
     )
 
 
+def doc_top_tfidf(sf_dir: str, k: int = 3):
+    """Top-``k`` distinctive terms per document — the TF-IDF pipeline
+    shape with an integer-exact ordering (tf DESC, document-frequency
+    ASC, token ASC) so the ranking is bit-reproducible and
+    SQL-checkable (a float ``tf*ln(N/df)`` score ranks identically for
+    equal (tf, df) and is one multiply away downstream; ranking on the
+    exact integers avoids cross-library libm 1-ulp ambiguity).
+
+    Fully distributed — the vocabulary never touches the driver:
+
+    1. one scan emits (doc_id, token, tf) pairs (per-doc value_counts
+       inside the batch; a document's rows never split across blocks);
+    2. document frequency is a partial-combine + groupby over the SAME
+       materialized pairs dataset (no second corpus scan);
+    3. tf rows join df rows on token — a hash-partitioned shuffle,
+       because at corpus scale the vocabulary (∝ distinct tokens) can
+       exceed any broadcast budget;
+    4. per-doc ranking runs vectorized over coarse doc buckets (one
+       lexsort + segment ranks per bucket, no per-doc Python).
+    """
+    from ray.data.aggregate import Sum
+
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        num_shuffle_buckets,
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        words = textops.split_words(batch["text"])
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), counts
+        )
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "token": flat,
+                "tf": pa.array(np.ones(len(doc_ids), dtype=np.int64)),
+            }
+        )
+        return _group_sum(t, ["doc_id", "token"])
+
+    tf_ds = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "token": batch["token"],
+                "df": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return _group_sum(t, ["token"])
+
+    df_ds = (
+        tf_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    num_partitions = _join_partitions(sf_dir, ["documents"])
+    joined = tf_ds.join(
+        df_ds.map_batches(
+            lambda b: b.rename_columns(["token_r", "df"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("token",),
+        right_on=("token_r",),
+    )
+
+    n_buckets = num_shuffle_buckets()
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        bucket = batch["doc_id"].to_numpy(zero_copy_only=False) % np.int64(
+            n_buckets
+        )
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def rank_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy()
+        tf = g["tf"].to_numpy()
+        df = g["df"].to_numpy()
+        token = g["token"].to_numpy()
+        order = np.lexsort((token, df, -tf, doc))
+        doc_s = doc[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(doc_s)) + 1]
+        seg_len = np.diff(np.r_[starts, len(doc_s)])
+        rank = np.arange(len(doc_s)) - np.repeat(starts, seg_len) + 1
+        keep = rank <= k
+        idx = order[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": doc[idx],
+                "rank": rank[keep],
+                "token": token[idx],
+                "tf": tf[idx],
+                "df": df[idx],
+            }
+        )
+
+    return (
+        joined.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_in_bucket, batch_format="pandas")
+    )
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup by content digest: one representative (min doc_id)
     per distinct text + duplicate count.

@@ -65,6 +65,7 @@ def _to_pandas(res):
         "events_value_hour_corr",
         "bigram_counts",
         "doc_token_stats",
+        "doc_top_tfidf",
         "events_hourly",
         "pricing_summary",
         "orders_by_segment",

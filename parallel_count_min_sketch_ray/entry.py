@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- events: windows / sessions / topk (SQL-checked) ---
         "events_hourly": analytics.events_hourly,
         "events_value_hour_corr": analytics.events_value_hour_corr,
+        "events_rollup": analytics.events_rollup,
         "events_sessions": analytics.events_sessions,
         "events_lag": analytics.events_lag,
         "events_sliding": analytics.events_sliding,
@@ -275,6 +276,16 @@ def oracle_sql() -> dict[str, str]:
             "k AS (SELECT q.* FROM q JOIN d ON q.doc_id = d.keep_id) "
             "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_words) AS BIGINT) AS n_tokens FROM k GROUP BY lang, source"
+        ),
+        # one-pass GROUP BY ROLLUP(event_type, hour-of-day); sentinels
+        # 'ALL'/-1 stand in for the rollup NULLs
+        "events_rollup": (
+            "SELECT COALESCE(event_type, 'ALL') AS event_type, "
+            "COALESCE(hour, -1) AS hour, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 "
+            "AS value_sum FROM (SELECT event_type, "
+            "CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hour, value "
+            "FROM events) GROUP BY ROLLUP(event_type, hour)"
         ),
         # exact mergeable moments -> Pearson corr(hour-of-day, cents);
         # the double-precision expression mirrors analytics.py::finish

@@ -581,6 +581,90 @@ def events_value_median(sf_dir: str):
     )
 
 
+def events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, hour-of-day) in ONE pass / ONE
+    shuffle — the grouping-sets pattern: each block derives all three
+    levels' partials locally (the (type) level folds the (type, hour)
+    level; the grand total folds (type) — no re-scan per level), tags
+    them with sentinel keys ('ALL' / -1), packs the composite key into
+    one string, and a single groupby Sum-combines everything.  The
+    exchange carries ≤ (types×25 + types + 1) rows per block no matter
+    how many events feed it.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts_us // 3_600_000_000) % 24
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array(hour),
+                "cnt": pa.array(np.ones(len(hour), dtype=np.int64)),
+                "vc": pa.array(cents),
+            }
+        )
+        lvl2 = _group_sum(t, ["event_type", "hour"])
+        lvl1 = _group_sum(lvl2.drop_columns(["hour"]), ["event_type"])
+        lvl0 = pa.table(
+            {
+                "cnt": pa.array([pc.sum(lvl1["cnt"]).as_py() or 0], pa.int64()),
+                "vc": pa.array([pc.sum(lvl1["vc"]).as_py() or 0], pa.int64()),
+            }
+        )
+
+        def packed(types, hours, tbl) -> pa.Table:
+            key = pc.binary_join_element_wise(
+                types, pc.cast(hours, pa.string()), "|"
+            )
+            return pa.table({"key": key, "cnt": tbl["cnt"], "vc": tbl["vc"]})
+
+        n1, n2 = lvl1.num_rows, lvl2.num_rows
+        return pa.concat_tables(
+            [
+                packed(lvl2["event_type"], lvl2["hour"], lvl2),
+                packed(lvl1["event_type"], pa.array([-1] * n1, pa.int64()), lvl1),
+                packed(
+                    pa.array(["ALL"], pa.string()),
+                    pa.array([-1], pa.int64()),
+                    lvl0,
+                ),
+            ]
+        )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        col = batch["key"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(col, pattern="|")
+        flat = parts.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        mat = flat.reshape(n, 2) if n else np.zeros((0, 2), object)
+        return pa.table(
+            {
+                "event_type": pa.array(mat[:, 0], pa.string()),
+                "hour": pa.array(
+                    mat[:, 1].astype(np.int64) if n else np.zeros(0, np.int64)
+                ),
+                "cnt": batch["cnt"],
+                "value_sum": pa.array(
+                    batch["vc"].to_numpy(zero_copy_only=False).astype(np.float64)
+                    / 100.0
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("vc", alias_name="vc"))
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+
+
 def events_value_hour_corr(sf_dir: str):
     """Pearson correlation of (hour-of-day, value) per event_type via
     EXACT mergeable moments — the one-pass distributed-statistics

@@ -67,6 +67,7 @@ def _to_pandas(res):
         "doc_token_stats",
         "doc_top_tfidf",
         "events_hourly",
+        "events_rollup",
         "pricing_summary",
         "orders_by_segment",
         "embedding_norms",

@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": analytics.orders_by_segment,
         "orders_by_region": analytics.orders_by_region,
         "order_lineitem_join": analytics.order_lineitem_join,
+        "customers_without_orders": analytics.customers_without_orders,
         "brand_nation_revenue": analytics.brand_nation_revenue,
         "events_value_stats": analytics.events_value_stats,
         "events_value_median": analytics.events_value_median,
@@ -394,6 +395,14 @@ def oracle_sql() -> dict[str, str]:
             "(100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "GROUP BY o.o_orderstatus"
+        ),
+        # anti-join (TPC-H Q22 shape) mirrors analytics.customers_without_orders
+        "customers_without_orders": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+            "CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 "
+            "AS acctbal_sum FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT') GROUP BY c_mktsegment"
         ),
         # snowflake-collapse star join mirrors analytics.brand_nation_revenue
         "brand_nation_revenue": (

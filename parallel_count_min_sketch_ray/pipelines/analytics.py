@@ -1248,6 +1248,61 @@ def order_lineitem_join(sf_dir: str, num_partitions: int | None = None):
     return out[["o_orderstatus", "n_items", "revenue"]]
 
 
+def customers_without_orders(sf_dir: str, num_partitions: int | None = None):
+    """Anti-join (TPC-H Q22 shape): customers with NO urgent-priority
+    order, counted per market segment, plus their account-balance sum.
+
+    Native ``Dataset.join(join_type="left_anti")`` — a hash-partitioned
+    shuffle on the key; duplicate right-side keys cannot multiply an
+    anti-join, so ``orders`` needs no pre-dedup pass.  Both sides are
+    column-pruned to exactly the key + aggregated columns, the priority
+    predicate is pushed into the parquet scan (row-group pruning; the
+    filter column never leaves storage), and the partition count
+    derives from input bytes (a broadcast NOT-IN set would cap at
+    driver memory; the shuffle anti-join scales with the cluster).
+    """
+    if num_partitions is None:
+        num_partitions = _join_partitions(sf_dir, ["customer", "orders"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+    no_orders = cust.join(
+        orders,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_customers": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "bal": pa.array(
+                    _cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+        return _group_sum(t, ["c_mktsegment"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        no_orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("bal", alias_name="bal"),
+        )
+    ).to_pandas()
+    out["acctbal_sum"] = out["bal"].astype(np.float64) / 100.0
+    return out[["c_mktsegment", "n_customers", "acctbal_sum"]]
+
+
 def _sorted_lookup(table: pa.Table, key_col: str, val_col) -> tuple[np.ndarray, np.ndarray]:
     """(sorted int64 keys, aligned values) for searchsorted broadcast joins."""
     keys = table[key_col].to_numpy()

@@ -69,6 +69,7 @@ def _to_pandas(res):
         "events_hourly",
         "events_rollup",
         "pricing_summary",
+        "customers_without_orders",
         "orders_by_segment",
         "embedding_norms",
         "ann_topk",

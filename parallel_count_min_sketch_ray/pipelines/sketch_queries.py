@@ -152,6 +152,32 @@ def kll_ntok_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def tdigest_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Tail quantiles of the continuous events.value column via a
+    distributed t-digest build (one streaming pass, value column only).
+
+    The KLL sibling covers integer n_tok with uniform rank error; the
+    t-digest's k1 scale function concentrates centroids at the tails,
+    so p99/p999 of the heavy-tailed value distribution stay tight at
+    the same state size.  Deterministic but not SQL-expressible to
+    bit-equality (interpolated estimates) — the rank-error envelope is
+    asserted in pytest against the exact distribution instead."""
+    from parallel_count_min_sketch_ray.state.tdigest import TDigest
+
+    ds = read(sf_dir, "events", ["value"])
+    rep = build_sketches(ds, [SketchSpec("td", TDigest(delta=200), "value")])
+    td = rep["td"]
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999]
+    return pd.DataFrame(
+        {
+            "q": qs,
+            "value_quantile": td.quantiles(qs),
+            "n": np.int64(td.n),
+            "num_centroids": np.int64(td.num_centroids()),
+        }
+    )
+
+
 def bloom_doc_membership(sf_dir: str) -> pd.DataFrame:
     rep = build_all(sf_dir)
     bloom = rep["bloom"]

@@ -155,6 +155,22 @@ def test_hll_and_kll_queries_vs_exact(ray_session, con):
         assert abs(rank - row["q"]) <= 0.03 + 1.0 / len(ntoks)
 
 
+def test_tdigest_value_quantiles_vs_exact(ray_session, con):
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        tdigest_value_quantiles,
+    )
+
+    df = tdigest_value_quantiles(SF_UNIT)
+    vals = np.sort(
+        con.sql("SELECT value FROM events").df()["value"].to_numpy()
+    )
+    assert int(df["n"].iloc[0]) == vals.size
+    assert int(df["num_centroids"].iloc[0]) <= 200
+    for _, row in df.iterrows():
+        rank = np.searchsorted(vals, row["value_quantile"], side="right") / vals.size
+        assert abs(rank - row["q"]) <= 0.005 + 1.0 / vals.size, row["q"]
+
+
 def test_bloom_membership_query(ray_session):
     from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
         bloom_doc_membership,

@@ -294,6 +294,7 @@ def test_describe_all_sketches():
     from parallel_count_min_sketch_ray.state.hll import HyperLogLog
     from parallel_count_min_sketch_ray.state.kll import KLLSketch
     from parallel_count_min_sketch_ray.state.minhash import MinHashSignature
+    from parallel_count_min_sketch_ray.state.tdigest import TDigest
     from parallel_count_min_sketch_ray.state.topk import TopKSketch
 
     data = np.arange(1000) % 37
@@ -303,6 +304,7 @@ def test_describe_all_sketches():
         BloomFilter(capacity=1000),
         KLLSketch(),
         TopKSketch(k=8),
+        TDigest(),
     ):
         sk.update(data)
         out = sk.describe()
@@ -490,3 +492,92 @@ def test_kmv_set_estimates_vs_exact():
     d2.update(np.arange(1_000_000, 1_001_000))
     dz = d1.set_estimates(d2)
     assert dz["jaccard"] == 0.0 and dz["intersection"] == 0.0
+
+
+# ---- t-digest (Dunning & Ertl 2019; BASELINE.json north_star names it
+# as the KLL sibling for continuous-value quantiles) -------------------
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "pareto", "bimodal"])
+def test_tdigest_rank_error_bound(dist):
+    from parallel_count_min_sketch_ray.state.tdigest import TDigest
+
+    rng = np.random.default_rng(7)
+    n = 150_000
+    data = {
+        "uniform": lambda: rng.uniform(0, 1, n),
+        "lognormal": lambda: rng.lognormal(0, 2, n),
+        "pareto": lambda: rng.pareto(1.5, n),
+        "bimodal": lambda: np.concatenate(
+            [rng.normal(0, 1, n // 2), rng.normal(100, 1, n // 2)]
+        ),
+    }[dist]()
+    td = TDigest(delta=200)
+    for chunk in np.array_split(data, 23):
+        td.update(chunk)
+    s = np.sort(data)
+    # k1 scale: rank error shrinks toward the tails; 0.5% uniform
+    # envelope is ~10x the measured worst case at delta=200
+    for q in [0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999]:
+        v = td.quantile(q)
+        rank = np.searchsorted(s, v, side="right") / s.size
+        assert abs(rank - q) <= 0.005, (q, rank)
+    # exact endpoints
+    assert td.quantile(0.0) == s[0] and td.quantile(1.0) == s[-1]
+    # bounded state
+    assert td.num_centroids() <= 200
+
+
+def test_tdigest_merge_matches_single_and_is_associative():
+    from parallel_count_min_sketch_ray.state.tdigest import TDigest
+
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(0, 1, 120_000)
+    parts = np.array_split(data, 16)
+    digs = []
+    for p in parts:
+        t = TDigest(delta=200)
+        t.update(p)
+        digs.append(t)
+    # left fold
+    left = digs[0].empty_like()
+    for d in digs:
+        left.merge(TDigest.from_bytes(d.to_bytes()))
+    # pairwise tree fold
+    level = [TDigest.from_bytes(d.to_bytes()) for d in digs]
+    while len(level) > 1:
+        level = [
+            level[i].merge(level[i + 1]) if i + 1 < len(level) else level[i]
+            for i in range(0, len(level), 2)
+        ]
+    tree = level[0]
+    assert left.n == tree.n == data.size
+    s = np.sort(data)
+    for td in (left, tree):
+        for q in [0.01, 0.5, 0.99]:
+            rank = np.searchsorted(s, td.quantile(q), side="right") / s.size
+            assert abs(rank - q) <= 0.005
+
+
+def test_tdigest_weighted_zero_counts_serde_and_guards():
+    from parallel_count_min_sketch_ray.state.tdigest import TDigest
+
+    td = TDigest(delta=100)
+    vals = np.arange(1000, dtype=np.float64)
+    counts = np.full(1000, 5, dtype=np.int64)
+    counts[::4] = 0  # never-occurring values must not contribute
+    td.update(vals, counts)
+    assert td.n == int(counts.sum())
+    assert td.vmin >= 1.0  # value 0 had count 0
+    # rank of the weighted median ~ 0.5
+    assert abs(td.rank(td.quantile(0.5)) - 0.5) <= 0.02
+    back = TDigest.from_bytes(td.to_bytes())
+    assert back.n == td.n and back.vmin == td.vmin and back.vmax == td.vmax
+    assert np.allclose(back.quantiles([0.1, 0.9]), td.quantiles([0.1, 0.9]))
+    with pytest.raises(ValueError):
+        td.merge(TDigest(delta=200))
+    with pytest.raises(ValueError):
+        TDigest(delta=5)
+    empty = TDigest()
+    assert np.isnan(empty.quantile(0.5)) and np.isnan(empty.rank(1.0))
+    assert "TDigest" in td.describe() and "p999" in td.describe()

@@ -390,20 +390,29 @@ def doc_top_tfidf(sf_dir: str, k: int = 3):
     Fully distributed — the vocabulary never touches the driver:
 
     1. one scan emits (doc_id, token, tf) pairs (per-doc value_counts
-       inside the batch; a document's rows never split across blocks);
-    2. document frequency is a partial-combine + groupby over the SAME
-       materialized pairs dataset (no second corpus scan);
-    3. tf rows join df rows on token — a hash-partitioned shuffle,
-       because at corpus scale the vocabulary (∝ distinct tokens) can
-       exceed any broadcast budget;
-    4. per-doc ranking runs vectorized over coarse doc buckets (one
+       inside the batch; a document's rows never split across blocks)
+       tagged with a coarse token-hash bucket;
+    2. a groupby on the token bucket co-locates each token's pair rows,
+       so document frequency is counted AND attached to every pair in
+       one vectorized pass per bucket — replacing the earlier
+       df-groupby + tf⋈df hash join (two shuffles of the pair set) with
+       a single shuffle.  The vocabulary still never touches the
+       driver, and nothing is broadcast (at corpus scale distinct
+       tokens exceed any broadcast budget);
+    3. per-doc ranking runs vectorized over coarse doc buckets (one
        lexsort + segment ranks per bucket, no per-doc Python).
-    """
-    from ray.data.aggregate import Sum
 
+    Skew note: a ubiquitous token ("the") contributes ≤ one pair per
+    document to its bucket, so the hottest bucket holds Σ_df over its
+    tokens — bounded by pairs/B on average plus ~N per stopword-grade
+    token; the per-bucket work stays a sort, not a pairwise blowup.
+    """
+    from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
     from parallel_count_min_sketch_ray.stages.partitioning import (
         num_shuffle_buckets,
     )
+
+    n_buckets = num_shuffle_buckets()
 
     def pairs(batch: pa.Table) -> pa.Table:
         words = textops.split_words(batch["text"])
@@ -419,41 +428,41 @@ def doc_top_tfidf(sf_dir: str, k: int = 3):
                 "tf": pa.array(np.ones(len(doc_ids), dtype=np.int64)),
             }
         )
-        return _group_sum(t, ["doc_id", "token"])
+        g = _group_sum(t, ["doc_id", "token"])
+        # hash unique tokens once, gather (vocab << pairs per batch)
+        uniq = pc.unique(g["token"])
+        ubucket = (hash64_strings(uniq.to_pylist()) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        idx = pc.index_in(g["token"], value_set=uniq).to_numpy(
+            zero_copy_only=False
+        )
+        return g.append_column("tok_bucket", pa.array(ubucket[idx], pa.int64()))
 
-    tf_ds = (
-        read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(pairs, batch_format="pyarrow")
-        .materialize()
-    )
-
-    def df_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
+    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
+        # pairs are per-doc distinct, so rows-per-token == document freq
+        tok = g["token"].to_numpy()
+        order = np.argsort(tok, kind="stable")
+        tok_s = tok[order]
+        starts = np.r_[0, np.flatnonzero(tok_s[1:] != tok_s[:-1]) + 1]
+        seg = np.diff(np.r_[starts, len(tok_s)])
+        dfv = np.empty(len(tok), dtype=np.int64)
+        dfv[order] = np.repeat(seg, seg)
+        return pd.DataFrame(
             {
-                "token": batch["token"],
-                "df": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "doc_id": g["doc_id"],
+                "token": g["token"],
+                "tf": g["tf"],
+                "df": dfv,
             }
         )
-        return _group_sum(t, ["token"])
 
-    df_ds = (
-        tf_ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
+    joined = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("tok_bucket")
+        .map_groups(annotate_df, batch_format="pandas")
     )
-
-    num_partitions = _join_partitions(sf_dir, ["documents"])
-    joined = tf_ds.join(
-        df_ds.map_batches(
-            lambda b: b.rename_columns(["token_r", "df"]), batch_format="pyarrow"
-        ),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("token",),
-        right_on=("token_r",),
-    )
-
-    n_buckets = num_shuffle_buckets()
 
     def bucketed(batch: pa.Table) -> pa.Table:
         bucket = batch["doc_id"].to_numpy(zero_copy_only=False) % np.int64(

@@ -87,6 +87,59 @@ def doc_fingerprints(sf_dir: str, window: int = 8):
 # ---------------------------------------------------------------------------
 
 
+_WIN_C = np.uint64(0x100000001B3)  # FNV prime: odd -> bijective per step
+
+
+def _window_key_stream(
+    text_col, w: int, doc_mask: np.ndarray
+) -> tuple["pa.Array", np.ndarray, np.ndarray]:
+    """Vectorized w-gram keys WITHOUT materializing window strings.
+
+    Hashes each batch's *unique* words once (``hash64_strings`` over
+    the vocabulary, gathered back via ``index_in``), then combines each
+    full in-document window of ``w`` word hashes with a polynomial
+    rolling scheme (``key = key * C + h`` per step, uint64 wraparound)
+    — O(w·N) numpy adds/multiplies instead of O(bytes·w) string
+    construction + rehashing.  The key function is shared by both
+    splits so Bloom membership is consistent; exactness never rests on
+    it (the final verify joins on the window *strings*, built lazily
+    for hits only).
+
+    Returns ``(flat_words, win_start, win_doc)`` implicitly keyed:
+    flat word array of the batch, plus per-valid-window (global start
+    index into ``flat_words``, doc index, key) as
+    ``(flat, starts, docs, keys)``.
+    """
+    lists = textops.split_words(text_col)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    flat = lists.flatten()
+    n = len(flat)
+    if n < w:
+        return flat, np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(
+            0, np.uint64
+        )
+    uniq = pc.unique(flat)
+    uh = hash64_strings(uniq.to_pylist())
+    wh = uh[pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)]
+    with np.errstate(over="ignore"):
+        keys = wh[: n - w + 1].copy()
+        for t in range(1, w):
+            keys *= _WIN_C
+            keys += wh[t : n - w + 1 + t]
+    doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    valid = (doc_of[: n - w + 1] == doc_of[w - 1 :]) & doc_mask[
+        doc_of[: n - w + 1]
+    ]
+    starts = np.flatnonzero(valid)
+    return flat, starts, doc_of[starts], keys[starts]
+
+
+def _window_strings(flat: "pa.Array", starts: np.ndarray, w: int) -> list[str]:
+    """Materialize the (few) window strings at ``starts`` — space-joined
+    ``w`` words from the flat batch word array."""
+    return [" ".join(flat.slice(int(j), w).to_pylist()) for j in starts]
+
+
 def _full_windows(texts: list[str], w: int) -> tuple[list[str], np.ndarray]:
     """All FULL w-word windows per doc (docs with < w words emit none —
     matching the oracle's ``len(words) >= w`` gate).  Returns (flat
@@ -160,12 +213,20 @@ def decontaminate_ngram(sf_dir: str, w: int = 8, train_pct: int = 90):
     def val_shingles(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         mask = textops.split_buckets(ids) >= train_pct
-        texts = [t for t, m in zip(batch["text"].to_pylist(), mask) if m]
+        # prune to the val split BEFORE any Python string conversion —
+        # only ~10% of the corpus pays the window-string construction
+        texts = pc.filter(batch["text"], pa.array(mask)).to_pylist()
         wins, _ = _full_windows(texts, w)
         uniq = pc.unique(pa.array(wins, pa.string()))
-        return pa.table(
-            {"sh_v": uniq, "key": pa.array(hash64_strings(uniq.to_pylist()))}
+        # Bloom keys use the train side's polynomial word-hash scheme,
+        # recomputed here FROM the distinct strings (each sh_v is itself
+        # a w-word doc -> exactly one window each, order-aligned), so
+        # membership is consistent across splits while the val string
+        # set stays exactly deduped (exactness never rests on the key).
+        _f, _s, _d, keys = _window_key_stream(
+            uniq, w, np.ones(len(uniq), dtype=bool)
         )
+        return pa.table({"sh_v": uniq, "key": pa.array(keys)})
 
     docs = read(sf_dir, "documents", ["doc_id", "text", "source"])
     val_ds = docs.map_batches(val_shingles, batch_format="pyarrow").materialize()
@@ -180,33 +241,36 @@ def decontaminate_ngram(sf_dir: str, w: int = 8, train_pct: int = 90):
     blob_ref = ray.put(bloom.to_bytes())
 
     def prefilter(batch: pa.Table) -> pa.Table:
+        # the 90% side: window keys stream straight from per-word hashes
+        # (no window-string construction); strings materialize only for
+        # the (few) Bloom hits that the exact join then verifies
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        keep = textops.split_buckets(ids) < train_pct
-        kept = batch.filter(pa.array(keep))
-        wins, counts = _full_windows(kept["text"].to_pylist(), w)
-        doc_idx = np.repeat(np.arange(kept.num_rows), counts)
-        keys = hash64_strings(wins)
+        mask = textops.split_buckets(ids) < train_pct
+        flat, starts, docs, keys = _window_key_stream(batch["text"], w, mask)
         hit = _bloom_from_ref(blob_ref).contains(keys)
-        # dedupe (doc, shingle) among the (few) hits so the join sees
-        # each pair once
-        doc_idx, keys_h = doc_idx[hit], keys[hit]
-        wins_h = [s for s, m in zip(wins, hit) if m]
-        pair = np.stack([doc_idx.astype(np.uint64), keys_h]) if keys_h.size else (
-            np.zeros((2, 0), np.uint64)
-        )
-        _, first = np.unique(pair, axis=1, return_index=True)
-        first = np.sort(first)
-        doc_idx = doc_idx[first]
+        starts, docs = starts[hit], docs[hit]
+        # hits are sparse (true overlaps + <= fp_rate of the stream):
+        # build their strings and dedupe (doc, STRING) exactly so the
+        # join sees each candidate pair once and exactness never rests
+        # on the 64-bit key
+        strings = np.array(_window_strings(flat, starts, w), dtype=object)
+        if strings.size:
+            order = np.lexsort((strings, docs))
+            docs, strings = docs[order], strings[order]
+            first = np.r_[
+                True, (docs[1:] != docs[:-1]) | (strings[1:] != strings[:-1])
+            ]
+            docs, strings = docs[first], strings[first]
         return pa.table(
             {
                 "doc_id": pa.array(
-                    kept["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+                    batch["doc_id"].to_numpy(zero_copy_only=False)[docs]
                 ),
                 "source": pa.array(
-                    kept["source"].to_numpy(zero_copy_only=False)[doc_idx],
+                    batch["source"].to_numpy(zero_copy_only=False)[docs],
                     pa.string(),
                 ),
-                "sh": pa.array([wins_h[i] for i in first], pa.string()),
+                "sh": pa.array(strings, pa.string()),
             }
         )
 

@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": analytics.dedup_exact,
         "doc_top_tfidf": analytics.doc_top_tfidf,
         "doc_split_stats": analytics.doc_split_stats,
+        "per_source_cap": analytics.per_source_cap,
+        "source_mixture_sample": analytics.source_mixture_sample,
+        "repetition_stats": textpipe.repetition_stats,
         "token_count_regex": textpipe.token_count_regex,
         "decontaminate_ngram": textpipe.decontaminate_ngram,
         "source_token_totals": analytics.source_token_totals,
@@ -82,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": analytics.events_rollup,
         "events_sessions": analytics.events_sessions,
         "events_lag": analytics.events_lag,
+        "events_cume_dist": analytics.events_cume_dist,
         "events_sliding": analytics.events_sliding,
         "events_asof_join": analytics.events_asof_join,
         "events_range_join": analytics.events_range_join,
@@ -231,6 +235,46 @@ def oracle_sql() -> dict[str, str]:
             "FROM tfx t JOIN dfx d USING (token)) "
             "SELECT doc_id, CAST(rk AS BIGINT) AS rank, token, tf, df "
             "FROM r WHERE rk <= 3"
+        ),
+        "per_source_cap": (
+            "SELECT doc_id, source, rnk FROM ("
+            "SELECT doc_id, source, ROW_NUMBER() OVER "
+            "(PARTITION BY source ORDER BY doc_id) AS rnk FROM documents) t "
+            "WHERE rnk <= 20"
+        ),
+        # mixture re-weighting: budget = total tokens // (2 * #sources);
+        # keep iff md5(doc_id) % 10000 < floor(min(1, budget/total_src)*10000)
+        "source_mixture_sample": (
+            "WITH tot AS (SELECT source, CAST(SUM(len(list_filter("
+            "string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY source), "
+            "b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // (2 * COUNT(*)) "
+            "AS budget FROM tot), "
+            "thr AS (SELECT source, CAST(floor(least(1.0, "
+            "CAST((SELECT budget FROM b) AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+            ") * 10000) AS BIGINT) AS t FROM tot), "
+            "kept AS (SELECT d.source, len(list_filter(string_split(d.text, ' '), "
+            "x -> x <> '')) AS ntok FROM documents d JOIN thr ON d.source = thr.source "
+            "WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 10000 < thr.t) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS sampled_docs, "
+            "CAST(SUM(ntok) AS BIGINT) AS sampled_tokens FROM kept GROUP BY source"
+        ),
+        "repetition_stats": (
+            "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct, "
+            "CASE WHEN len(ws) = 0 THEN 0.0 ELSE 1.0 - "
+            "CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) "
+            "END AS dup_frac, "
+            "CASE WHEN len(ws) = 0 THEN FALSE ELSE (1.0 - "
+            "CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) "
+            "> 0.75 END AS flagged "
+            "FROM (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS ws FROM documents) t"
+        ),
+        "events_cume_dist": (
+            "SELECT event_id, event_type, value, CUME_DIST() OVER "
+            "(PARTITION BY event_type ORDER BY value) AS cume_dist FROM events"
         ),
         "doc_split_stats": (
             "SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "

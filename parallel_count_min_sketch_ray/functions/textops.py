@@ -108,15 +108,16 @@ def quality_metrics(batch: pa.Table, text_col: str = "text") -> dict[str, np.nda
     }
 
 
-def split_buckets(ids) -> np.ndarray:
+def split_buckets(ids, mod: int = 100) -> np.ndarray:
     """Deterministic content-independent split bucket per id:
-    ``int(md5(str(id))[:8], 16) % 100`` — any node, any rerun, and the
+    ``int(md5(str(id))[:8], 16) % mod`` — any node, any rerun, and the
     SQL oracle (``CAST('0x'||substr(md5(CAST(id AS VARCHAR)),1,8) AS
-    BIGINT) % 100``) derive the identical assignment with no stored
-    split table and no RNG state."""
+    BIGINT) % mod``) derive the identical assignment with no stored
+    split table and no RNG state.  ``mod`` sets the rate granularity
+    (100 for percent splits, 10_000 for basis-point sampling)."""
     digests = md5_digests([str(i) for i in ids])
     return np.fromiter(
-        (int(d[:8], 16) % 100 for d in digests), dtype=np.int64, count=len(digests)
+        (int(d[:8], 16) % mod for d in digests), dtype=np.int64, count=len(digests)
     )
 
 

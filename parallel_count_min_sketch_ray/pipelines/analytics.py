@@ -341,6 +341,199 @@ def source_token_totals(sf_dir: str):
     )
 
 
+def per_source_cap(sf_dir: str, cap: int = 20):
+    """Per-source document cap — the "at most K docs per domain"
+    rebalancing rule of web-corpus curation (C4/RefinedWeb-style),
+    keeping each source's ``cap`` lowest-doc_id rows with their rank.
+
+    Same scale topology as :func:`top_terms_per_source` (the per-group
+    top-k pattern): per-block PRUNE to each source's local cap (the
+    global k-smallest of a union is a subset of the union of local
+    k-smallests), so the shuffle moves ≤ cap rows per (block, source)
+    — never the corpus — and the final ``groupby(source)`` ranks tiny
+    candidate groups.
+    """
+
+    def local_cap(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        codes = pc.index_in(src, value_set=pc.unique(src)).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((doc, codes))
+        codes_s = codes[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(codes_s)) + 1]
+        seg = np.diff(np.r_[starts, len(codes_s)])
+        rank = np.arange(len(codes_s)) - np.repeat(starts, seg)
+        idx = order[rank < cap]
+        return pa.table(
+            {"doc_id": pa.array(doc[idx]), "source": pc.take(src, pa.array(idx))}
+        )
+
+    def final_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").head(cap)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(local_cap, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_rank, batch_format="pandas")
+    )
+
+
+def source_mixture_sample(sf_dir: str, granularity: int = 10_000):
+    """Deterministic mixture re-weighting: downsample each source to a
+    shared token budget — the "equalize domain mixture" step of
+    training-data assembly, with no RNG state and no stored sample.
+
+    The budget is derived from the data (total tokens // (2 * number of
+    sources)), so over-represented sources are thinned toward it while
+    small sources pass through whole.  A doc survives iff
+    ``md5(doc_id) % granularity < floor(min(1, budget/total_src) *
+    granularity)`` — the same content-independent hash-bucket rule as
+    :func:`doc_split_stats`, so any node, any rerun, and the SQL oracle
+    reproduce the identical sample.
+
+    Scale shape: pass 1 is the tiny per-source totals groupby
+    (|sources| rows to the driver — the legitimate small-result
+    materialization); pass 2 filters inside ``map_batches`` with the
+    rate table shipped in the task closure, then rolls up per source.
+    Nothing corpus-sized shuffles except the final |sources|-row
+    aggregate.
+    """
+    totals = source_token_totals(sf_dir).to_pandas()
+    budget = int(totals["n_tokens"].sum()) // (2 * len(totals))
+    thresholds = {
+        row["source"]: int(
+            np.floor(min(1.0, budget / np.float64(row["n_tokens"])) * granularity)
+        )
+        for _, row in totals.iterrows()
+    }
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = textops.split_buckets(ids, mod=granularity)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        thr = np.fromiter(
+            (thresholds.get(s, 0) for s in src.to_pylist()),
+            dtype=np.int64,
+            count=len(src),
+        )
+        keep = bucket < thr
+        kept = batch.filter(pa.array(keep))
+        t = pa.table(
+            {
+                "source": kept["source"],
+                "sampled_docs": pa.array(
+                    np.ones(kept.num_rows, dtype=np.int64)
+                ),
+                "sampled_tokens": pa.array(textops.word_count(kept["text"])),
+            }
+        )
+        return _group_sum(t, ["source"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        read(sf_dir, "documents", ["doc_id", "source", "text"])
+        .map_batches(sample, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("sampled_docs", alias_name="sampled_docs"),
+            Sum("sampled_tokens", alias_name="sampled_tokens"),
+        )
+    )
+
+
+def events_cume_dist(sf_dir: str):
+    """``CUME_DIST() OVER (PARTITION BY event_type ORDER BY value)``
+    for every event — the distributed window-function-by-histogram
+    pattern: tie-stable (fraction of the partition ≤ the row's value),
+    so the result is deterministic where NTILE/ROW_NUMBER would not be.
+
+    Scale shape: no per-type sort and no row shuffle.  Pass 1 reduces
+    the corpus to its per-(type, value) histogram (per-block partial
+    counts folded by ONE ``groupby(event_type).map_groups`` — the
+    ``events_value_median`` topology; the value domain is quantized,
+    so the histogram is bounded and N-independent); the cumulative
+    table lands on the driver histogram-sized, ships ONCE via
+    ``ray.put``, and pass 2 assigns each row's cume_dist with a
+    vectorized ``searchsorted`` inside ``map_batches``.
+    """
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "cnt": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return _group_sum(t, ["event_type", "value"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g["value"].to_numpy()
+        c = g["cnt"].to_numpy()
+        order = np.argsort(vals, kind="stable")
+        vals, c = vals[order], c[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(vals) != 0) + 1]
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "value": vals[starts],
+                "cnt": np.add.reduceat(c, starts),
+            }
+        )
+
+    hist = (
+        read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    cum_tables: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for t, g in hist.groupby("event_type"):
+        v_s = g["value"].to_numpy()  # fold() emits them sorted
+        c_s = np.cumsum(g["cnt"].to_numpy())
+        cum_tables[str(t)] = (v_s, c_s, int(c_s[-1]))
+    tables_ref = ray.put(cum_tables)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tables = ray.get(tables_ref)
+        vv = batch["value"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.to_numpy(zero_copy_only=False)
+        out = np.empty(len(vv), dtype=np.float64)
+        for t in np.unique(codes):
+            m = codes == t
+            v_s, c_s, n = tables[t]
+            # every value is present in the histogram, so the count of
+            # rows <= v is c_s at searchsorted(side="right") - 1
+            le = np.searchsorted(v_s, vv[m], side="right")
+            out[m] = c_s[le - 1] / np.float64(n)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "cume_dist": pa.array(out),
+            }
+        )
+
+    return read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
 def doc_split_stats(sf_dir: str, train_pct: int = 90):
     """Deterministic content-independent train/val split + per-split
     rollup — the reproducible-split pattern for training corpora: the

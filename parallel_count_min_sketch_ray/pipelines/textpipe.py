@@ -310,6 +310,53 @@ def decontaminate_ngram(sf_dir: str, w: int = 8, train_pct: int = 90):
     )
 
 
+def repetition_stats(sf_dir: str, threshold: float = 0.75):
+    """Intra-document repetition quality signal (the Gopher-rule
+    shape): per doc, the duplicate-word fraction
+    ``1 - distinct_words / words`` and a flag above ``threshold``.
+    Highly repetitive documents are the classic low-quality stratum of
+    web corpora.
+
+    Embarrassingly parallel — one scan, no shuffle: the per-doc
+    distinct count is an Arrow ``group_by([doc, token])`` inside the
+    batch (C++ hash-agg, no per-row Python), scattered back to row
+    order.  A document's words never split across blocks.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        lists = textops.split_words(batch["text"])
+        n_words = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        n = len(n_words)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_words)
+        pairs = pa.table({"d": pa.array(doc_of), "w": lists.flatten()})
+        distinct_pairs = pairs.group_by(["d", "w"]).aggregate([])
+        per_doc = (
+            distinct_pairs.group_by(["d"]).aggregate([("w", "count")])
+        )
+        n_distinct = np.zeros(n, dtype=np.int64)
+        n_distinct[per_doc["d"].to_numpy(zero_copy_only=False)] = per_doc[
+            "w_count"
+        ].to_numpy(zero_copy_only=False)
+        dup_frac = np.where(
+            n_words > 0,
+            1.0 - n_distinct / np.maximum(n_words, 1).astype(np.float64),
+            0.0,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words.astype(np.int64)),
+                "n_distinct": pa.array(n_distinct),
+                "dup_frac": pa.array(dup_frac),
+                "flagged": pa.array(dup_frac > threshold),
+            }
+        )
+
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
 def clean_corpus(sf_dir: str):
     """Training-data cleaning chain: quality filter → exact dedup →
     per-(lang, source) rollup, in ONE distributed pipeline.

@@ -66,6 +66,10 @@ def _to_pandas(res):
         "bigram_counts",
         "doc_token_stats",
         "doc_top_tfidf",
+        "per_source_cap",
+        "source_mixture_sample",
+        "repetition_stats",
+        "events_cume_dist",
         "events_hourly",
         "events_rollup",
         "pricing_summary",

@@ -178,6 +178,30 @@ def tdigest_value_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def type_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-event_type tail quantiles of ``value`` via GROUPED t-digests
+    — the new sketch riding the keyed no-shuffle merge tree
+    (:func:`..pipelines.sketch_build.build_sketches_by_key`), the same
+    path as ``source_distinct_tokens``/``source_ntok_quantiles``."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        build_sketches_by_key,
+    )
+    from parallel_count_min_sketch_ray.state.tdigest import TDigest
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+    grouped = build_sketches_by_key(
+        ds, "event_type", [SketchSpec("td", TDigest(delta=200), "value")]
+    )
+    rows = []
+    for etype in sorted(grouped):
+        td = grouped[etype]["td"]
+        qs = td.quantiles([0.5, 0.9, 0.99])
+        rows.append((etype, int(td.n), qs[0], qs[1], qs[2]))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "p50", "p90", "p99"]
+    )
+
+
 def bloom_doc_membership(sf_dir: str) -> pd.DataFrame:
     rep = build_all(sf_dir)
     bloom = rep["bloom"]

@@ -175,6 +175,22 @@ def test_tdigest_value_quantiles_vs_exact(ray_session, con):
         assert abs(rank - row["q"]) <= 0.005 + 1.0 / vals.size, row["q"]
 
 
+def test_type_value_quantiles_grouped_tdigest(ray_session, con):
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        type_value_quantiles,
+    )
+
+    df = type_value_quantiles(SF_UNIT)
+    ex = con.sql("SELECT event_type, value FROM events").df()
+    assert set(df["event_type"]) == set(ex["event_type"])
+    for _, row in df.iterrows():
+        vals = np.sort(ex[ex.event_type == row.event_type]["value"].to_numpy())
+        assert row["n"] == vals.size
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = np.searchsorted(vals, row[col], side="right") / vals.size
+            assert abs(rank - q) <= 0.01 + 1.0 / vals.size, (row.event_type, col)
+
+
 def test_bloom_membership_query(ray_session):
     from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
         bloom_doc_membership,

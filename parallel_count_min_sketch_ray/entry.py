@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_ntok_quantiles": sketch_queries.kll_ntok_quantiles,
         "tdigest_value_quantiles": sketch_queries.tdigest_value_quantiles,
         "type_value_quantiles": sketch_queries.type_value_quantiles,
+        "daily_distinct_users": sketch_queries.daily_distinct_users,
         "bloom_doc_membership": sketch_queries.bloom_doc_membership,
         "cms_inner_product_sources": sketch_queries.cms_inner_product_sources,
         "topk_words": sketch_queries.topk_words,

@@ -191,6 +191,27 @@ def test_type_value_quantiles_grouped_tdigest(ray_session, con):
             assert abs(rank - q) <= 0.01 + 1.0 / vals.size, (row.event_type, col)
 
 
+def test_daily_distinct_users_windowed_hll(ray_session, con):
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        daily_distinct_users,
+    )
+
+    df = daily_distinct_users(SF_UNIT)
+    ex = (
+        con.sql(
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "COUNT(DISTINCT user_id) AS d FROM events GROUP BY 1"
+        )
+        .df()
+        .set_index("day")["d"]
+    )
+    assert set(df["day"]) == set(ex.index)
+    for row in df.itertuples():
+        true = ex[row.day]
+        # HLL p=12 stderr ~1.6%; allow 4 sigma + small-count floor
+        assert abs(row.distinct_users_estimate - true) <= max(0.07 * true, 3), row.day
+
+
 def test_bloom_membership_query(ray_session):
     from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
         bloom_doc_membership,

@@ -28,6 +28,12 @@ def _corpus_write_lineage(sf_dir: str):
     return corpus_write_lineage(sf_dir)
 
 
+def _range_partitioned_write(sf_dir: str):
+    from parallel_count_min_sketch_ray.pipelines.io import range_partitioned_write
+
+    return range_partitioned_write(sf_dir)
+
+
 def _media_decode_stats(sf_dir: str):
     from parallel_count_min_sketch_ray.pipelines.multimodal import media_decode_stats
 
@@ -123,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_shingle_overlap": sketch_queries.source_shingle_overlap,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
         "corpus_write_lineage": _corpus_write_lineage,
+        "events_range_partition": _range_partitioned_write,
         # --- near-dup / text analysis ---
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (LSH recall)
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # SQL-checked

@@ -223,3 +223,85 @@ def corpus_write_lineage(sf_dir: str, out_root: str = "/tmp/pcmr-corpus-write"):
     return pd.DataFrame(rows, columns=["partition", "rows", "bytes"]).sort_values(
         "partition"
     ).reset_index(drop=True)
+
+
+def range_partitioned_write(
+    sf_dir: str,
+    out_root: str = "/tmp/pcmr-range-write",
+    num_parts: int = 16,
+):
+    """Globally-ordered, range-partitioned parquet output with
+    SKETCH-DERIVED boundaries — the global-sort-at-scale pattern.
+
+    ``ds.sort()`` on 100 TB is an all-to-all with unknown key
+    distribution; instead (1) one streaming t-digest pass estimates the
+    key CDF, (2) equal-mass quantile cuts become half-open range
+    boundaries, (3) each row routes to its range with a vectorized
+    ``searchsorted`` (the only shuffle — and it is the *intended* data
+    movement of a repartition), (4) each partition sorts locally and
+    writes atomically (``part=NNN/`` + ``_SUCCESS``).  Every value in
+    part i is strictly less than every value in part i+1 (equal keys
+    can never straddle a cut), so concatenating parts in id order IS
+    the global sort; partition mass is balanced to the digest's rank
+    accuracy (~0.1% at delta=200), which is what keeps the local sorts
+    uniform.  Skew-safe: a heavy key collapses adjacent cuts
+    (``np.unique``) rather than overloading one range unnoticed.
+
+    Returns per-partition lineage (part, rows, value_min, value_max)
+    for the ordering/balance invariants asserted in tests.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc  # noqa: F401  (parity with sibling writers)
+
+    from parallel_count_min_sketch_ray.pipelines.analytics import read
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        SketchSpec,
+        build_sketches,
+    )
+    from parallel_count_min_sketch_ray.state.tdigest import TDigest
+
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{num_parts}".encode()
+    ).hexdigest()[:10]
+    out_dir = os.path.join(out_root, tag)
+    os.makedirs(out_dir, exist_ok=True)
+    ev_path = f"{sf_dir}/events.parquet"
+    _check_input_manifest(out_dir, input_fingerprint(ev_path))
+
+    ds = read(sf_dir, "events", ["event_id", "value"])
+    td = build_sketches(ds, [SketchSpec("td", TDigest(delta=200), "value")])["td"]
+    qs = np.arange(1, num_parts) / num_parts
+    bounds = np.unique(td.quantiles(qs))
+
+    def route(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds, v, side="right").astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    def sort_and_write(g) -> "pd.DataFrame":
+        g = g.sort_values(["value", "event_id"])
+        pid = f"{int(g['part'].iloc[0]):04d}"
+        table = pa.Table.from_pandas(
+            g[["event_id", "value"]], preserve_index=False
+        )
+        rec = write_partition_atomic(out_dir, pid, [table])
+        return pd.DataFrame(
+            {
+                "part": [pid],
+                "rows": np.array([len(g)], dtype=np.int64),
+                "value_min": [float(g["value"].iloc[0])],
+                "value_max": [float(g["value"].iloc[-1])],
+                "bytes": np.array([int(rec["bytes"])], dtype=np.int64),
+            }
+        )
+
+    stats = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sort_and_write, batch_format="pandas")
+        .to_pandas()
+    )
+    return stats.sort_values("part").reset_index(drop=True)

@@ -370,3 +370,33 @@ def test_image_decode_codec_plugpoint(ray_session, monkeypatch):
     # 4) strict with no codec raises
     with pytest.raises(NotImplementedError):
         mm.ImageDecodeStage(out_size=4, strict=True)(table)
+
+
+def test_range_partitioned_write_invariants(ray_session, tmp_path):
+    """Sketch-derived range partitioner: global order across parts,
+    balanced mass, internally sorted files, idempotent rerun."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from parallel_count_min_sketch_ray.pipelines.io import range_partitioned_write
+
+    out_root = str(tmp_path / "range-write")
+    df = range_partitioned_write("/root/testdata/sf0.001", out_root=out_root,
+                                 num_parts=8)
+    import duckdb
+
+    n = duckdb.sql(
+        "SELECT COUNT(*) FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    assert df["rows"].sum() == n
+    vmin, vmax = df["value_min"].to_numpy(), df["value_max"].to_numpy()
+    assert (vmax[:-1] < vmin[1:]).all()  # ranges strictly ordered
+    assert df["rows"].max() <= 2.0 * df["rows"].mean()  # digest-balanced
+    files = sorted(glob.glob(f"{out_root}/*/part=*/*.parquet"))
+    assert len(files) == len(df)
+    v = pq_.read_table(files[0])["value"].to_numpy()
+    assert (np.diff(v) >= 0).all()  # local sort
+    again = range_partitioned_write("/root/testdata/sf0.001", out_root=out_root,
+                                    num_parts=8)
+    assert df.equals(again)

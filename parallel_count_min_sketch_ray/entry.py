@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": ann.embedding_near_dup_lsh,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "lang_quality": textpipe.lang_quality,  # SQL-checked
+        "quality_model_scores": textpipe.quality_model_scores,  # actor-pool inference
         "media_decode_stats": _media_decode_stats,
         "doc_fingerprints": textpipe.doc_fingerprints,
     }

@@ -12,7 +12,7 @@ import pyarrow.compute as pc
 import ray
 
 from parallel_count_min_sketch_ray.functions import textops
-from parallel_count_min_sketch_ray.functions.hashing import hash64_strings
+from parallel_count_min_sketch_ray.functions.hashing import hash64_strings, splitmix64
 from parallel_count_min_sketch_ray.pipelines.analytics import _group_sum, read
 
 # BPE-ish word/number/punct tokens; RE2 syntax valid for both pyarrow
@@ -431,4 +431,66 @@ def clean_corpus(sf_dir: str):
         reps.map_batches(unpack, batch_format="pyarrow")
         .groupby(["lang", "source"])
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+    )
+
+
+class QualityModelStage:
+    """Actor-pool inference stage: hashed bag-of-words features → a
+    deterministic linear quality score — the batched-model-scoring
+    pattern (the real-model siblings swap the weight vector for loaded
+    checkpoint tensors; the Ray plumbing is identical).
+
+    Model "load" happens ONCE per actor in ``__init__`` (the seeded
+    weight vector here; a multi-GB checkpoint in production — exactly
+    why this is a callable CLASS on an actor pool, not a task fn).
+    Per batch: one vectorized feature pass (unique-word hashing +
+    ``np.add.at`` scatter into an (n_docs, dim) count matrix) and one
+    matmul + sigmoid.  No RNG at call time: scores are a pure function
+    of (text, dim, seed).
+    """
+
+    def __init__(self, dim: int = 256, seed: int = 42):
+        self.dim = int(dim)
+        # seeded deterministic weights in [-1, 1): splitmix64 of the
+        # feature index — any worker builds the identical "model"
+        idx = np.arange(self.dim, dtype=np.uint64) + np.uint64(seed) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        h = splitmix64(idx)
+        self.weights = (h.astype(np.float64) / 2**63) - 1.0
+        self.bias = float(self.weights.mean())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = textops.split_words(batch["text"])
+        n_words = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        n = len(n_words)
+        flat = lists.flatten()
+        uniq = pc.unique(flat)
+        ub = hash64_strings(uniq.to_pylist()) % np.uint64(self.dim)
+        buckets = ub[pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)]
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_words)
+        x = np.zeros((n, self.dim), dtype=np.float64)
+        np.add.at(x, (doc_of, buckets.astype(np.int64)), 1.0)
+        x /= np.maximum(n_words, 1)[:, None]  # length-normalized tf
+        logits = x @ self.weights + self.bias
+        score = 1.0 / (1.0 + np.exp(-logits))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "model_score": pa.array(score),
+            }
+        )
+
+
+def quality_model_scores(sf_dir: str, dim: int = 256, concurrency=(1, 4)):
+    """Batched model inference over the corpus on an ACTOR POOL —
+    per-actor setup in ``__init__``, vectorized scoring per batch.
+    Deterministic (seeded weights), so reruns and the pytest
+    single-process recompute agree bit-for-bit."""
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        QualityModelStage,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
     )

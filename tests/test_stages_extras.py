@@ -400,3 +400,35 @@ def test_range_partitioned_write_invariants(ray_session, tmp_path):
     again = range_partitioned_write("/root/testdata/sf0.001", out_root=out_root,
                                     num_parts=8)
     assert df.equals(again)
+
+
+def test_quality_model_scores_actor_pool_deterministic(ray_session):
+    """Actor-pool inference: distributed scores are bit-identical to a
+    single-process recompute (seeded weights, no call-time RNG), and
+    the pool path (concurrency tuple -> actors) actually runs."""
+    import pyarrow.parquet as pq_
+
+    from parallel_count_min_sketch_ray.pipelines.textpipe import (
+        QualityModelStage,
+        quality_model_scores,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = (
+        quality_model_scores(sf, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert ((df.model_score > 0) & (df.model_score < 1)).all()
+    t = pq_.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    local = (
+        QualityModelStage()(t).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert np.array_equal(df.model_score.to_numpy(), local.model_score.to_numpy())
+    # different seed -> different model
+    other = QualityModelStage(seed=7)(t).to_pandas()
+    assert not np.array_equal(
+        df.model_score.to_numpy(),
+        other.sort_values("doc_id").model_score.to_numpy(),
+    )

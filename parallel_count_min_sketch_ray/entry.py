@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,
         "embedding_near_dup_lsh": ann.embedding_near_dup_lsh,
         "ann_ivf_topk": ann.ann_ivf_topk,
+        "embedding_clusters": ann.embedding_clusters,
         "lang_quality": textpipe.lang_quality,  # SQL-checked
         "quality_model_scores": textpipe.quality_model_scores,  # actor-pool inference
         "media_decode_stats": _media_decode_stats,

@@ -565,3 +565,71 @@ def embedding_near_dup_lsh(
     )
     out["sim"] = np.round(out["sim"], 4)
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
+def embedding_clusters(
+    sf_dir: str,
+    num_clusters: int = 8,
+    seed: int = 42,
+    max_train: int = 65536,
+) -> pd.DataFrame:
+    """K-means cluster profile of the embedding corpus — the iterative
+    clustering pattern as a first-class query: per cluster, member
+    count and mean distance-to-centroid (the per-cluster inertia).
+
+    Same scale topology as :func:`ann_ivf_topk`'s quantizer: the
+    trainer sees a bounded seeded ``random_sample`` (never a full-table
+    driver read); assignment + per-cluster partial (count, Σdist)
+    reduce inside ``map_batches`` with the centroid matrix shipped in
+    the task closure, so the shuffle is ``num_clusters`` rows per block
+    — N-independent.  Deterministic (seeded init, fixed iteration
+    count) → rows-only driver check; distributed == local recompute is
+    asserted in pytest.
+    """
+    import pyarrow.parquet as pq_
+
+    from ray.data.aggregate import Sum
+
+    n_rows = pq_.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    emb = read(sf_dir, "embeddings", ["embedding"])
+    if n_rows > max_train:
+        emb = emb.random_sample(min(1.0, 1.2 * max_train / n_rows), seed=seed)
+    sample_rows = emb.limit(max_train).take_all()
+    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    cent = kmeans_centroids(sample, num_clusters, seed)
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch["embedding"])
+        if not mat.size:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "dist_sum": pa.array([], pa.float64()),
+                }
+            )
+        d2 = _sq_dists(mat, cent)
+        assign = d2.argmin(axis=1)
+        dist = np.sqrt(d2[np.arange(len(assign)), assign])
+        n = np.bincount(assign, minlength=num_clusters)
+        s = np.bincount(assign, weights=dist, minlength=num_clusters)
+        keep = n > 0
+        return pa.table(
+            {
+                "cluster": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "n": pa.array(n[keep].astype(np.int64)),
+                "dist_sum": pa.array(s[keep]),
+            }
+        )
+
+    agg = (
+        read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(assign_partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("dist_sum", alias_name="dist_sum"))
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    agg["mean_dist"] = agg["dist_sum"] / agg["n"]
+    return agg[["cluster", "n", "mean_dist"]]

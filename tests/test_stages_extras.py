@@ -432,3 +432,31 @@ def test_quality_model_scores_actor_pool_deterministic(ray_session):
         df.model_score.to_numpy(),
         other.sort_values("doc_id").model_score.to_numpy(),
     )
+
+
+def test_embedding_clusters_distributed_equals_local(ray_session):
+    """K-means cluster profile: distributed partial-reduction equals a
+    local recompute (same seeded centroids), all vectors covered."""
+    import pyarrow.parquet as pq_
+
+    from parallel_count_min_sketch_ray.pipelines.ann import (
+        _sq_dists,
+        embedding_clusters,
+        kmeans_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = embedding_clusters(sf, num_clusters=4)
+    t = pq_.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    assert df["n"].sum() == len(mat)
+    cent = kmeans_centroids(mat, 4, 42)  # n <= max_train: sample == full table
+    d2 = _sq_dists(mat, cent)
+    a = d2.argmin(axis=1)
+    n = np.bincount(a, minlength=4)
+    assert np.array_equal(df["n"].to_numpy(), n[n > 0])
+    dist = np.sqrt(d2[np.arange(len(a)), a])
+    expect = np.array(
+        [dist[a == c].mean() for c in np.flatnonzero(n > 0)], dtype=np.float64
+    )
+    assert np.allclose(df["mean_dist"].to_numpy(), expect)

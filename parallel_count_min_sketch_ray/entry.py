@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": analytics.events_sessions,
         "events_lag": analytics.events_lag,
         "events_cume_dist": analytics.events_cume_dist,
+        "signup_conversion": analytics.signup_conversion,
         "events_sliding": analytics.events_sliding,
         "events_asof_join": analytics.events_asof_join,
         "events_range_join": analytics.events_range_join,
@@ -286,6 +287,22 @@ def oracle_sql() -> dict[str, str]:
         "events_cume_dist": (
             "SELECT event_id, event_type, value, CUME_DIST() OVER "
             "(PARTITION BY event_type ORDER BY value) AS cume_dist FROM events"
+        ),
+        # cohort funnel: first signup per user; converted iff any
+        # purchase lands in (first_signup, first_signup + 7 days]
+        "signup_conversion": (
+            "WITH s AS (SELECT user_id, MIN(ts) AS su FROM events "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "conv AS (SELECT s.user_id, s.su, MAX(CASE WHEN "
+            "e.event_type = 'purchase' AND e.ts > s.su AND "
+            "e.ts <= s.su + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS c "
+            "FROM s LEFT JOIN events e ON e.user_id = s.user_id "
+            "GROUP BY s.user_id, s.su) "
+            "SELECT strftime(su, '%Y-%m-%d') AS cohort_day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(c) AS BIGINT) AS n_converted, "
+            "CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
+            "AS conversion_rate FROM conv GROUP BY 1"
         ),
         "doc_split_stats": (
             "SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "

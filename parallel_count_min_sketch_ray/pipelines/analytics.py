@@ -1708,3 +1708,87 @@ def orders_by_segment(sf_dir: str):
     ).to_pandas()
     out["total_price"] = out["tp_c"].astype(np.float64) / 100.0
     return out[["c_mktsegment", "n_orders", "total_price"]]
+
+
+def signup_conversion(sf_dir: str, window_days: int = 7):
+    """Cohort conversion funnel: per signup day, how many signing-up
+    users made a purchase within ``window_days`` after their FIRST
+    signup — the multi-step behavioral query of product analytics,
+    composed from this repo's standard parts.
+
+    Topology (the sessionization shape): prune to the two relevant
+    event types inside the scan's first map_batches, co-locate each
+    user via the coarse user-hash bucket shuffle, resolve the
+    first-signup timestamp and the in-window purchase EXISTS per user
+    vectorized over the whole bucket (lexsort + segment reduceat — no
+    per-user Python), pre-aggregate (cohort_day, n, converted) per
+    bucket, and finish with a tiny per-day Sum.  Integer-microsecond
+    compares; the rate is one int/int double division, so the floats
+    are bit-comparable with the SQL oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        num_shuffle_buckets,
+    )
+
+    n_buckets = num_shuffle_buckets()
+    window_us = np.int64(window_days) * 86_400_000_000
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["event_type"], value_set=pa.array(["signup", "purchase"])
+        )
+        kept = batch.filter(keep)
+        bucket = kept["user_id"].to_numpy(zero_copy_only=False) % np.int64(
+            n_buckets
+        )
+        return pa.table(
+            {
+                "user_id": kept["user_id"],
+                "ts": kept["ts"],
+                "is_signup": pc.equal(kept["event_type"], "signup"),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        is_su = g["is_signup"].to_numpy(dtype=bool)
+        order = np.lexsort((ts, user))
+        user_s, ts_s, su_s = user[order], ts[order], is_su[order]
+        starts = np.r_[0, np.flatnonzero(user_s[1:] != user_s[:-1]) + 1]
+        seg_len = np.diff(np.r_[starts, len(user_s)])
+        # first-signup ts per user: min over signup rows (int64 max as
+        # the identity for non-signup rows)
+        su_ts = np.where(su_s, ts_s, np.iinfo(np.int64).max)
+        first_su = np.minimum.reduceat(su_ts, starts)
+        has_su = first_su != np.iinfo(np.int64).max
+        row_first = np.repeat(first_su, seg_len)
+        hit = (~su_s) & (ts_s > row_first) & (ts_s <= row_first + window_us)
+        converted = np.add.reduceat(hit.astype(np.int64), starts) > 0
+        cohort = pd.to_datetime(first_su[has_su], unit="us").strftime("%Y-%m-%d")
+        out = pd.DataFrame(
+            {
+                "cohort_day": cohort,
+                "n_users": np.int64(1),
+                "n_converted": converted[has_su].astype(np.int64),
+            }
+        )
+        return out.groupby("cohort_day", as_index=False).sum()
+
+    agg = (
+        read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(prune, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+        .groupby("cohort_day")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_converted", alias_name="n_converted"),
+        )
+        .to_pandas()
+    )
+    agg["conversion_rate"] = agg["n_converted"] / agg["n_users"]
+    return agg.sort_values("cohort_day").reset_index(drop=True)

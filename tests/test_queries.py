@@ -70,6 +70,7 @@ def _to_pandas(res):
         "source_mixture_sample",
         "repetition_stats",
         "events_cume_dist",
+        "signup_conversion",
         "events_hourly",
         "events_rollup",
         "pricing_summary",

@@ -453,9 +453,10 @@ class QualityModelStage:
         self.dim = int(dim)
         # seeded deterministic weights in [-1, 1): splitmix64 of the
         # feature index — any worker builds the identical "model"
-        idx = np.arange(self.dim, dtype=np.uint64) + np.uint64(seed) * np.uint64(
-            0x9E3779B97F4A7C15
-        )
+        with np.errstate(over="ignore"):  # intentional uint64 wraparound
+            idx = np.arange(self.dim, dtype=np.uint64) + np.uint64(
+                seed
+            ) * np.uint64(0x9E3779B97F4A7C15)
         h = splitmix64(idx)
         self.weights = (h.astype(np.float64) / 2**63) - 1.0
         self.bias = float(self.weights.mean())

@@ -460,3 +460,45 @@ def test_embedding_clusters_distributed_equals_local(ray_session):
         [dist[a == c].mean() for c in np.flatnonzero(n > 0)], dtype=np.float64
     )
     assert np.allclose(df["mean_dist"].to_numpy(), expect)
+
+
+def test_per_source_cap_across_many_blocks(ray_session, tmp_path):
+    """The local-prune step keeps K per (block, source); correctness
+    requires the FINAL rank to pick the global K smallest when a
+    source's rows are scattered across many blocks — force that layout
+    with a multi-file documents 'table' and check vs the SQL oracle."""
+    import duckdb
+
+    import pyarrow.parquet as pq_
+
+    from parallel_count_min_sketch_ray.pipelines.analytics import per_source_cap
+
+    sf = tmp_path / "sf"
+    docdir = sf / "documents.parquet"
+    docdir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(600)  # doc_ids shuffled so files interleave ranks
+    for i in range(4):
+        chunk = ids[i * 150 : (i + 1) * 150]
+        t = pa.table(
+            {
+                "doc_id": pa.array(chunk, pa.int64()),
+                "source": pa.array([f"s{d % 3}" for d in chunk], pa.string()),
+                "text": pa.array(["x"] * len(chunk), pa.string()),
+            }
+        )
+        pq_.write_table(t, docdir / f"part-{i}.parquet")
+    got = (
+        per_source_cap(str(sf), cap=5)
+        .to_pandas()
+        .sort_values(["source", "rnk"])
+        .reset_index(drop=True)
+    )
+    ora = duckdb.sql(
+        "SELECT doc_id, source, rnk FROM (SELECT doc_id, source, ROW_NUMBER() "
+        f"OVER (PARTITION BY source ORDER BY doc_id) AS rnk FROM "
+        f"read_parquet('{docdir}/*.parquet')) t WHERE rnk <= 5 "
+        "ORDER BY source, rnk"
+    ).df()
+    assert got["doc_id"].tolist() == ora["doc_id"].tolist()
+    assert got["rnk"].astype(int).tolist() == ora["rnk"].astype(int).tolist()

@@ -420,11 +420,14 @@ def source_mixture_sample(sf_dir: str, granularity: int = 10_000):
         src = batch["source"]
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()
-        thr = np.fromiter(
-            (thresholds.get(s, 0) for s in src.to_pylist()),
+        # unique-gather: O(|sources in batch|) dict lookups, not O(rows)
+        uniq = pc.unique(src)
+        uthr = np.fromiter(
+            (thresholds.get(s, 0) for s in uniq.to_pylist()),
             dtype=np.int64,
-            count=len(src),
+            count=len(uniq),
         )
+        thr = uthr[pc.index_in(src, value_set=uniq).to_numpy(zero_copy_only=False)]
         keep = bucket < thr
         kept = batch.filter(pa.array(keep))
         t = pa.table(

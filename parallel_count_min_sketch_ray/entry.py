@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngram": textpipe.decontaminate_ngram,
         "source_token_totals": analytics.source_token_totals,
         "clean_corpus": textpipe.clean_corpus,
+        "curate_corpus": textpipe.curate_corpus,
         # --- events: windows / sessions / topk (SQL-checked) ---
         "events_hourly": analytics.events_hourly,
         "events_value_hour_corr": analytics.events_value_hour_corr,
@@ -303,6 +304,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(c) AS BIGINT) AS n_converted, "
             "CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "AS conversion_rate FROM conv GROUP BY 1"
+        ),
+        # flagship curation chain: split -> quality -> repetition ->
+        # dedup -> decontamination mask -> rollup (mirrors
+        # textpipe.curate_corpus stage for stage)
+        "curate_corpus": (
+            "WITH f AS (SELECT doc_id, lang, source, text, "
+            "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words, "
+            "COALESCE(CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
+            "NULLIF(len(list_filter(string_split(text, ' '), x -> x <> '')), 0), 0.0) AS awl, "
+            "len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS nd, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 "
+            "AS bkt FROM documents), "
+            "q AS (SELECT * FROM f WHERE bkt < 90 AND n_words >= 10 "
+            "AND awl >= 2.0 AND awl <= 12.0 "
+            "AND (CASE WHEN n_words = 0 THEN 0.0 ELSE 1.0 - "
+            "CAST(nd AS DOUBLE) / CAST(n_words AS DOUBLE) END) <= 0.75), "
+            "d AS (SELECT md5(text) AS dg, MIN(doc_id) AS keep_id FROM q GROUP BY 1), "
+            "k AS (SELECT q.* FROM q JOIN d ON q.doc_id = d.keep_id), "
+            "w_ AS (SELECT doc_id, CASE WHEN CAST(('0x' || "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 "
+            "THEN 'train' ELSE 'val' END AS split, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents), "
+            "s AS (SELECT doc_id, split, array_to_string(words[i:i+7], ' ') AS sh "
+            "FROM w_, unnest(range(1, len(words) - 6)) AS t(i) WHERE len(words) >= 8), "
+            "cont AS (SELECT DISTINCT t.doc_id FROM s t WHERE t.split = 'train' "
+            "AND t.sh IN (SELECT sh FROM s WHERE split = 'val')) "
+            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_words) AS BIGINT) AS n_tokens FROM k "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM cont) GROUP BY lang, source"
         ),
         "doc_split_stats": (
             "SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "

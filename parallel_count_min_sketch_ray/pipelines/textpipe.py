@@ -175,11 +175,11 @@ def _bloom_from_ref(ref) -> "object":
     return b
 
 
-def decontaminate_ngram(sf_dir: str, w: int = 8, train_pct: int = 90):
-    """Cross-split n-gram decontamination, EXACT: train-split documents
-    sharing any full ``w``-gram with any val-split document, counted per
-    source.  This is the production eval-decontamination pattern
-    (benchmark n-gram overlap checks) expressed Ray-Data-first:
+def _contamination_candidates(sf_dir: str, w: int = 8, train_pct: int = 90):
+    """EXACT verified cross-split overlaps as a Dataset of
+    (doc_id, source, sh) rows — the shared core of
+    :func:`decontaminate_ngram` (per-source counts) and
+    :func:`curate_corpus` (contamination mask):
 
     1. one scan emits the val side's per-batch-distinct shingles — a
        *dataset* (never driver state);
@@ -282,13 +282,23 @@ def decontaminate_ngram(sf_dir: str, w: int = 8, train_pct: int = 90):
     )
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     num_partitions = max(2, min(4 * cpus, 1 + n_val // 2_000_000))
-    joined = cand.join(
+    return cand.join(
         val_distinct,
         join_type="inner",
         num_partitions=num_partitions,
         on=("sh",),
         right_on=("sh_v",),
     )
+
+
+def decontaminate_ngram(sf_dir: str, w: int = 8, train_pct: int = 90):
+    """Cross-split n-gram decontamination, EXACT: train-split documents
+    sharing any full ``w``-gram with any val-split document, counted
+    per source (the production eval-decontamination report).  All the
+    machinery lives in :func:`_contamination_candidates`."""
+    from ray.data.aggregate import Min, Sum
+
+    joined = _contamination_candidates(sf_dir, w, train_pct)
 
     def per_source(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -494,4 +504,131 @@ def quality_model_scores(sf_dir: str, dim: int = 256, concurrency=(1, 4)):
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,
+    )
+
+
+def curate_corpus(
+    sf_dir: str,
+    w: int = 8,
+    train_pct: int = 90,
+    rep_threshold: float = 0.75,
+):
+    """FLAGSHIP curation chain — the full LLM training-data assembly
+    composed as one program, every stage reusing this repo's operators:
+
+        train-split selection (md5 buckets, :func:`..analytics.doc_split_stats`)
+        → quality gate (length / avg-word-len, :func:`clean_corpus`)
+        → repetition gate (dup-word fraction, :func:`repetition_stats`)
+        → exact dedup keeping min-doc_id WITH metadata (argmin-packed-key)
+        → n-gram decontamination mask (:func:`_contamination_candidates`)
+        → per-(lang, source) rollup.
+
+    and SQL-checkable END-TO-END (one CTE chain oracle).
+
+    Scale notes: the gates and packing are one vectorized scan; dedup
+    shuffles digests; the contamination mask materializes the DISTINCT
+    contaminated train doc_ids on the driver and broadcasts them via
+    ``ray.put`` — that set is ∝ true contamination (bounded, tiny
+    relative to the corpus); at extreme contamination an anti-join on
+    doc_id is the drop-in spelling.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    cont_ids = np.sort(
+        np.unique(
+            _contamination_candidates(sf_dir, w, train_pct)
+            .select_columns(["doc_id"])
+            .to_pandas()["doc_id"]
+            .to_numpy()
+        )
+    )
+    cont_ref = ray.put(cont_ids)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = textops.quality_metrics(batch)
+        # repetition: per-doc distinct-word count via Arrow hash-agg
+        lists = textops.split_words(batch["text"])
+        n_words = m["n_words"]
+        doc_of = np.repeat(np.arange(len(n_words), dtype=np.int64), n_words)
+        pairs = pa.table({"d": pa.array(doc_of), "w": lists.flatten()})
+        per_doc = (
+            pairs.group_by(["d", "w"]).aggregate([]).group_by(["d"]).aggregate(
+                [("w", "count")]
+            )
+        )
+        n_distinct = np.zeros(len(n_words), dtype=np.int64)
+        n_distinct[per_doc["d"].to_numpy(zero_copy_only=False)] = per_doc[
+            "w_count"
+        ].to_numpy(zero_copy_only=False)
+        dup_frac = np.where(
+            n_words > 0,
+            1.0 - n_distinct / np.maximum(n_words, 1).astype(np.float64),
+            0.0,
+        )
+        keep = (
+            (textops.split_buckets(ids) < train_pct)
+            & (n_words >= 10)
+            & (m["avg_word_len"] >= 2.0)
+            & (m["avg_word_len"] <= 12.0)
+            & (dup_frac <= rep_threshold)
+        )
+        kept = batch.filter(pa.array(keep))
+        if kept.num_rows == 0:
+            return pa.table(
+                {"digest": pa.array([], pa.string()),
+                 "packed": pa.array([], pa.string())}
+            )
+        dg = textops.md5_digests_arrow(kept["text"])
+        id_str = pc.utf8_lpad(
+            pc.cast(kept["doc_id"], pa.string()), width=20, padding="0"
+        )
+        packed = pc.binary_join_element_wise(
+            id_str,
+            pc.cast(pa.array(n_words[keep]), pa.string()),
+            kept["lang"].combine_chunks()
+            if isinstance(kept["lang"], pa.ChunkedArray) else kept["lang"],
+            kept["source"].combine_chunks()
+            if isinstance(kept["source"], pa.ChunkedArray) else kept["source"],
+            "|",
+        )
+        return pa.table({"digest": dg, "packed": packed})
+
+    reps = (
+        read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("digest")
+        .aggregate(Min("packed", alias_name="packed"))
+    )
+
+    def unpack_mask_rollup(batch: pa.Table) -> pa.Table:
+        col = batch["packed"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(col, pattern="|")
+        flat = parts.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        mat = flat.reshape(n, 4) if n else np.zeros((0, 4), object)
+        ids = mat[:, 0].astype(np.int64) if n else np.zeros(0, np.int64)
+        clean = ~np.isin(ids, ray.get(cont_ref))
+        t = pa.table(
+            {
+                "lang": pa.array(mat[:, 2][clean], pa.string()),
+                "source": pa.array(mat[:, 3][clean], pa.string()),
+                "n_docs": pa.array(np.ones(int(clean.sum()), dtype=np.int64)),
+                "n_tokens": pa.array(
+                    mat[:, 1][clean].astype(np.int64)
+                    if n else np.zeros(0, np.int64)
+                ),
+            }
+        )
+        return _group_sum(t, ["lang", "source"])
+
+    return (
+        reps.map_batches(unpack_mask_rollup, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
     )

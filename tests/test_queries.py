@@ -61,6 +61,7 @@ def _to_pandas(res):
         "top_terms_per_source",
         "doc_split_stats",
         "decontaminate_ngram",
+        "curate_corpus",
         "events_value_median",
         "events_value_hour_corr",
         "bigram_counts",

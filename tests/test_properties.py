@@ -155,3 +155,41 @@ def test_rolling_fingerprint_vectorized_equals_loop(texts, window):
             sh = [" ".join(ws[j : j + window]) for j in range(len(ws) - window + 1)]
             want = hash64_strings(sh).min()
         assert got[i] == want
+
+
+floats_strategy = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    max_size=400,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(items=floats_strategy, cut=st.integers(min_value=0, max_value=400))
+def test_tdigest_split_merge_rank_envelope(items, cut):
+    """digest(A) ⊕ digest(B) preserves exact n/min/max for ANY split,
+    and every quantile's true rank stays inside the k1 envelope (wide
+    slack: measured worst case is ~0.1% at delta=200)."""
+    from parallel_count_min_sketch_ray.state.tdigest import TDigest
+
+    cut = min(cut, len(items))
+    arr = np.array(items, dtype=np.float64)
+    a, b = TDigest(delta=200), TDigest(delta=200)
+    a.update(arr[:cut])
+    b.update(arr[cut:])
+    merged = a.merge(TDigest.from_bytes(b.to_bytes()))
+    assert merged.n == arr.size
+    if arr.size == 0:
+        assert np.isnan(merged.quantile(0.5))
+        return
+    assert merged.quantile(0.0) == arr.min()
+    assert merged.quantile(1.0) == arr.max()
+    s = np.sort(arr)
+    for q in (0.1, 0.5, 0.9):
+        v = merged.quantile(q)
+        lo = np.searchsorted(s, v, side="left") / s.size
+        hi = np.searchsorted(s, v, side="right") / s.size
+        # true rank interval of v must intersect [q - eps, q + eps];
+        # tiny streams are exact up to 1/n granularity
+        eps = 0.02 + 1.0 / s.size
+        assert lo - eps <= q <= hi + eps

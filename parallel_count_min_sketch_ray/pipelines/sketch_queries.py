@@ -202,6 +202,48 @@ def type_value_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def ntok_range_mass(sf_dir: str) -> pd.DataFrame:
+    """Range-mass estimates over the ``n_tok`` stream via the
+    dyadic-range CMS — the O(log U) upgrade of the reference's naive
+    per-value range sum (``cms_range_query_int``,
+    src/core/count_min_sketch.c:47-53; SURVEY.md §2.1 #8/#13), with the
+    naive level-0 answer alongside for parity.
+
+    Dyadic error is ≤ 2·bits·eps·N regardless of range width; the
+    naive bound degrades as |R|·eps·N, which is why the reference's
+    own wide-range probes are the weak spot this sketch fixes."""
+    from parallel_count_min_sketch_ray.state.dyadic import DyadicCMS
+
+    ds = tokenized_documents(sf_dir)
+    rep = build_sketches(
+        ds,
+        [SketchSpec(
+            "dy", DyadicCMS(eps=0.001, delta=0.1, seed=SEED, bits=16),
+            "n_tok", kind="numeric",
+        )],
+    )
+    dy = rep["dy"]
+    ranges = [(0, 50), (51, 100), (101, 200), (0, (1 << 16) - 1)]
+    rows = [
+        (
+            lo,
+            hi,
+            np.int64(dy.range_query(lo, hi)),
+            np.int64(dy.levels[0].range_query(lo, hi)),
+            np.int64(dy.range_error_bound()),
+            np.int64(dy.total),
+        )
+        for lo, hi in ranges
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "range_lo", "range_hi", "dyadic_estimate", "naive_estimate",
+            "dyadic_error_bound", "total_docs",
+        ],
+    )
+
+
 def daily_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Windowed sketch aggregate: per-DAY HyperLogLog distinct users —
     the event-time window × mergeable-sketch composition (approximate

@@ -214,6 +214,23 @@ def test_daily_distinct_users_windowed_hll(ray_session, con):
         assert abs(row.distinct_users_estimate - true) <= max(0.07 * true, 3), row.day
 
 
+def test_ntok_range_mass_bounds(ray_session, con):
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        ntok_range_mass,
+    )
+
+    df = ntok_range_mass(SF_UNIT)
+    for _, r in df.iterrows():
+        true = con.sql(
+            "SELECT COUNT(*) FROM (SELECT len(list_filter(string_split(text, ' '), "
+            f"x -> x <> '')) AS n FROM documents) t "
+            f"WHERE n BETWEEN {int(r.range_lo)} AND {int(r.range_hi)}"
+        ).fetchone()[0]
+        # one-sided CMS bound, range-width-independent for the dyadic path
+        assert true <= r.dyadic_estimate <= true + r.dyadic_error_bound
+        assert r.naive_estimate >= true
+
+
 def test_bloom_membership_query(ray_session):
     from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
         bloom_doc_membership,

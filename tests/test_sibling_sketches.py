@@ -581,3 +581,56 @@ def test_tdigest_weighted_zero_counts_serde_and_guards():
     empty = TDigest()
     assert np.isnan(empty.quantile(0.5)) and np.isnan(empty.rank(1.0))
     assert "TDigest" in td.describe() and "p999" in td.describe()
+
+
+# ---- dyadic-range CMS (Cormode & Muthukrishnan 2005 §4.2: the
+# O(log U) range query the reference's naive Σ lacks) -----------------
+
+
+def test_dyadic_cms_range_bounds_and_decomposition():
+    from collections import Counter
+
+    from parallel_count_min_sketch_ray.state.dyadic import DyadicCMS
+
+    rng = np.random.default_rng(2)
+    d = DyadicCMS(eps=0.01, delta=0.1, bits=12)
+    data = rng.integers(0, 4096, 150_000)
+    d.update(data)
+    cnt = Counter(data.tolist())
+    for lo, hi in [(0, 4095), (100, 110), (0, 0), (2048, 4095), (7, 1234)]:
+        true = sum(v for k, v in cnt.items() if lo <= k <= hi)
+        est = d.range_query(lo, hi)
+        assert true <= est <= true + d.range_error_bound(), (lo, hi)
+    # decomposition covers exactly, disjointly
+    for lo, hi in [(0, 4095), (7, 1234), (3, 3), (1023, 1025)]:
+        cover = []
+        for l, p in d._nodes(lo, hi):
+            cover.extend(range(p << l, (p + 1) << l))
+        assert sorted(cover) == list(range(lo, hi + 1))
+    assert "DyadicCMS" in d.describe()
+
+
+def test_dyadic_cms_merge_serde_and_guards():
+    from parallel_count_min_sketch_ray.state.dyadic import DyadicCMS
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 1 << 12, 80_000)
+    whole = DyadicCMS(eps=0.01, delta=0.1, bits=12)
+    whole.update(data)
+    a = DyadicCMS(eps=0.01, delta=0.1, bits=12)
+    b = DyadicCMS(eps=0.01, delta=0.1, bits=12)
+    a.update(data[:40_000])
+    b.update(data[40_000:], np.ones(40_000, dtype=np.int64))
+    merged = a.merge(DyadicCMS.from_bytes(b.to_bytes()))
+    assert merged.total == whole.total
+    for lo, hi in [(0, 100), (5, 4000)]:
+        assert merged.range_query(lo, hi) == whole.range_query(lo, hi)
+    with pytest.raises(ValueError):
+        merged.merge(DyadicCMS(eps=0.01, delta=0.1, bits=13))
+    with pytest.raises(ValueError):
+        DyadicCMS(bits=0)
+    with pytest.raises(ValueError):
+        d = DyadicCMS(bits=8)
+        d.update(np.array([256]))  # out of domain
+    with pytest.raises(ValueError):
+        merged.range_query(10, 5)

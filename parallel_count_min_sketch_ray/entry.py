@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_nation_revenue": analytics.brand_nation_revenue,
         "events_value_stats": analytics.events_value_stats,
         "events_value_median": analytics.events_value_median,
+        "pack_contexts": analytics.pack_contexts,
         # --- embeddings (SQL-checked) ---
         "embedding_norms": ann.embedding_norms,
         "ann_topk": ann.ann_topk,
@@ -249,6 +250,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM tfx t JOIN dfx d USING (token)) "
             "SELECT doc_id, CAST(rk AS BIGINT) AS rank, token, tf, df "
             "FROM r WHERE rk <= 3"
+        ),
+        # sequence packing: running prefix SUM() OVER the (source,
+        # doc_id) order assigns each doc to a fixed char-budget context
+        "pack_contexts": (
+            "WITH c AS (SELECT source, n_chars, "
+            "SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM documents) "
+            "SELECT source, "
+            "CAST(CAST(cum - n_chars AS BIGINT) // 4096 AS BIGINT) AS context_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS chars "
+            "FROM c GROUP BY 1, 2"
         ),
         "per_source_cap": (
             "SELECT doc_id, source, rnk FROM ("

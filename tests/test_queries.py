@@ -65,6 +65,10 @@ def _to_pandas(res):
         "events_value_median",
         "events_value_hour_corr",
         "pack_contexts",
+        "daily_retention",
+        "source_distinct_exact",
+        "events_value_histogram",
+        "bigram_lift",
         "bigram_counts",
         "doc_token_stats",
         "doc_top_tfidf",

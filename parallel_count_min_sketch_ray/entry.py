@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_median": analytics.events_value_median,
         "pack_contexts": analytics.pack_contexts,
         "daily_retention": analytics.daily_retention,
+        "customer_running_spend": analytics.customer_running_spend,
         "source_distinct_exact": analytics.source_distinct_exact,
         "events_value_histogram": analytics.events_value_histogram,
         "bigram_lift": analytics.bigram_lift,
@@ -266,6 +267,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS chars "
             "FROM c GROUP BY 1, 2"
+        ),
+        # running-total window through the distributed scan; integer
+        # cents inside, one final divide — doubles match bit-for-bit
+        "customer_running_spend": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS running_spend "
+            "FROM orders"
         ),
         # consecutive-day retention over distinct (user, day) activity
         "daily_retention": (

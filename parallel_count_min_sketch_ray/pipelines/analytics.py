@@ -2034,3 +2034,44 @@ def bigram_lift(sf_dir: str, threshold: int = 20, k: int = 20):
     )
     top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top
+
+
+def customer_running_spend(sf_dir: str):
+    """Per-customer running spend after each order (ordered by order
+    date, key-tiebroken) — the running-total window, partitioned by a
+    high-cardinality integer key, through the same distributed scan as
+    ``pack_contexts``.  Money runs as integer cents through the scan
+    (exact in any association); the final divide-by-100 is the only
+    float op, so the doubles match the oracle bit-for-bit.
+    """
+    from parallel_count_min_sketch_ray.stages.scan import keyed_prefix_sum
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    ds = read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(to_cents, batch_format="pyarrow")
+    with_cum = keyed_prefix_sum(
+        ds, "o_custkey", ["o_orderdate", "o_orderkey"], "cents", "cum"
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        spend = batch["cum"].to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "running_spend": pa.array(spend, pa.float64()),
+            }
+        )
+
+    return with_cum.map_batches(finalize, batch_format="pyarrow")

@@ -2,7 +2,7 @@
 
 ``keyed_prefix_sum`` computes, for every row,
 
-    SUM(value) OVER (PARTITION BY part ORDER BY order
+    SUM(value) OVER (PARTITION BY part ORDER BY order_cols
                      ROWS UNBOUNDED PRECEDING)
 
 without ``map_groups`` — a partition larger than any single worker's
@@ -12,28 +12,30 @@ training-data pipeline needs (sequence packing, running totals).
 
 Topology (two block-aligned passes over the globally sorted table):
 
-1. ``sort([part, order])`` fixes a total order; ``materialize()`` pins
-   the block boundaries so both passes see identical blocks (only the
-   pruned scan columns are materialized, never payload columns).
+1. ``sort([part, *order_cols])`` fixes a total order; ``materialize()``
+   pins the block boundaries so both passes see identical blocks (only
+   the pruned scan columns are materialized, never payload columns).
 2. Pass 1 emits **at most two rows per block**: the in-block sum of
    the block's *first* partition and of its *last* partition.  Any
    partition strictly interior to a block cannot appear in any other
    block (the table is sorted), so its cross-block offset is zero and
    it never has to be exchanged.  Driver fan-in is O(blocks),
    independent of the number of partitions.
-3. The driver walks blocks in key order keeping running totals for
-   edge partitions only, and derives one offset per block: the mass
-   of the block's first partition in earlier blocks.  The offset map
-   (≤ one entry per block) is broadcast via ``ray.put``.
+3. The driver orders blocks by their typed first-row keys (stringified
+   keys would sort "10" before "2"), walks them keeping running totals
+   for edge partitions only, and derives one offset per block: the
+   mass of the block's first partition in earlier blocks.  The offset
+   map (≤ one entry per block) is broadcast via ``ray.put``.
 4. Pass 2 computes the in-block running sum per partition (one
    ``cumsum`` with segment resets — no per-row Python) and adds the
    block's offset to rows of its first partition.
 
-Determinism requires ``(part, order)`` to be unique per row (the
+Determinism requires ``(part, *order_cols)`` to be unique per row (the
 block's first key doubles as its identity across the two passes);
-callers use natural keys (``doc_id``, ``event_id``).  Integer values
+callers use natural keys (``doc_id``, ``o_orderkey``).  Integer values
 sum exactly in any association; float values would make the
-offset+local association observable and are rejected.
+offset+local association observable, so callers convert to integer
+cents first (the repo-wide exact-money convention).
 """
 
 from __future__ import annotations
@@ -44,72 +46,95 @@ import pyarrow as pa
 import ray
 
 
-def _first_scalar(col):
-    v = col[0].as_py()
-    return v
+def _block_id(batch: pa.Table, part_col: str, order_cols: list[str]) -> str:
+    """A block's identity across the two passes: repr of its first
+    row's (part, *order) values — unique per row by contract."""
+    vals = [str(batch[part_col][0].as_py())]
+    vals += [batch[c][0].as_py() for c in order_cols]
+    return repr(tuple(vals))
 
 
-def _block_edge_sums(part_col: str, order_col: str, value_col: str):
+def _typed_first(batch: pa.Table, col: str, nrows: int) -> pa.Array:
+    """First value of a column replicated nrows times, keeping its
+    Arrow type (ints must sort numerically on the driver)."""
+    first = batch[col].slice(0, 1)
+    if isinstance(first, pa.ChunkedArray):
+        first = first.combine_chunks()
+    return pa.concat_arrays([first] * nrows)
+
+
+def _block_edge_sums(part_col: str, order_cols: list[str], value_col: str):
+    """Per block: 1-2 rows of (blk id, edge partition, in-block sum of
+    that partition), plus the block's typed first-row sort key (same
+    value on every row of the block) for driver-side ordering."""
+
     def summarize(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        empty = {
-            "blk_part": pa.array([], pa.string()),
-            "blk_order": pa.array([], pa.int64()),
-            "part": pa.array([], pa.string()),
-            "edge_sum": pa.array([], pa.int64()),
-        }
         if n == 0:
-            return pa.table(empty)
+            cols = {
+                "blk": pa.array([], pa.string()),
+                "part": pa.array([], pa.string()),
+                "edge_sum": pa.array([], pa.int64()),
+                "__kp": batch[part_col].slice(0, 0),
+            }
+            for i, c in enumerate(order_cols):
+                cols[f"__k{i}"] = batch[c].slice(0, 0)
+            return pa.table(cols)
         parts = batch[part_col]
         if isinstance(parts, pa.ChunkedArray):
             parts = parts.combine_chunks()
         vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        first_part = _first_scalar(parts)
-        last_part = parts[n - 1].as_py()
-        blk_order = int(batch[order_col][0].as_py())
-        # sorted block: rows of the first/last partition are contiguous
-        # prefixes/suffixes — find the boundaries without a group-by.
         np_parts = parts.to_numpy(zero_copy_only=False)
-        first_len = int(np.searchsorted(np_parts, first_part, side="right"))
-        rows = {
-            "blk_part": [str(first_part)],
-            "blk_order": [blk_order],
-            "part": [str(first_part)],
-            "edge_sum": [int(vals[:first_len].sum())],
-        }
+        first_part, last_part = str(np_parts[0]), str(np_parts[-1])
+        blk = _block_id(batch, part_col, order_cols)
+        # sorted block: rows of the first/last partition are contiguous
+        # prefixes/suffixes — find the boundaries without a group-by
+        first_len = int(np.searchsorted(np_parts, np_parts[0], side="right"))
+        out_part = [first_part]
+        out_sum = [int(vals[:first_len].sum())]
         if last_part != first_part:
-            last_start = int(np.searchsorted(np_parts, last_part, side="left"))
-            rows["blk_part"].append(str(first_part))
-            rows["blk_order"].append(blk_order)
-            rows["part"].append(str(last_part))
-            rows["edge_sum"].append(int(vals[last_start:].sum()))
-        return pa.table(
-            {
-                "blk_part": pa.array(rows["blk_part"], pa.string()),
-                "blk_order": pa.array(rows["blk_order"], pa.int64()),
-                "part": pa.array(rows["part"], pa.string()),
-                "edge_sum": pa.array(rows["edge_sum"], pa.int64()),
-            }
-        )
+            last_start = int(
+                np.searchsorted(np_parts, np_parts[-1], side="left")
+            )
+            out_part.append(last_part)
+            out_sum.append(int(vals[last_start:].sum()))
+        nrows = len(out_part)
+        cols = {
+            "blk": pa.array([blk] * nrows, pa.string()),
+            "part": pa.array(out_part, pa.string()),
+            "edge_sum": pa.array(out_sum, pa.int64()),
+            # typed first-row sort key (part + order cols): the driver
+            # must order blocks by native type order, not by repr
+            "__kp": _typed_first(batch, part_col, nrows),
+        }
+        for i, c in enumerate(order_cols):
+            cols[f"__k{i}"] = _typed_first(batch, c, nrows)
+        return pa.table(cols)
 
     return summarize
 
 
-def _block_offsets(edge_rows: list[dict]) -> dict[tuple, int]:
-    """Walk blocks in key order; offset of a block = running total of
-    its first partition so far.  Running state holds edge partitions
-    only (≤ 2 per block)."""
-    by_block: dict[tuple, list[dict]] = {}
+def _block_offsets(edge_rows: list[dict], n_order: int) -> dict[str, int]:
+    """Order blocks by their typed first-row keys, then walk them
+    keeping running totals for edge partitions only; a block's offset
+    is the running total of its first partition."""
+    by_block: dict[str, list[dict]] = {}
     for r in edge_rows:
-        by_block.setdefault((r["blk_part"], r["blk_order"]), []).append(r)
+        by_block.setdefault(r["blk"], []).append(r)
+    blocks = sorted(
+        by_block.values(),
+        key=lambda rows: (
+            rows[0]["__kp"],
+            *[rows[0][f"__k{i}"] for i in range(n_order)],
+        ),
+    )
     running: dict[str, int] = {}
-    offsets: dict[tuple, int] = {}
-    for key in sorted(by_block):
-        rows = by_block[key]
-        first_part = key[0]
+    offsets: dict[str, int] = {}
+    for rows in blocks:
+        first_part = rows[0]["part"]
         off = running.get(first_part, 0)
         if off:
-            offsets[key] = off
+            offsets[rows[0]["blk"]] = off
         for r in rows:
             running[r["part"]] = running.get(r["part"], 0) + r["edge_sum"]
     return offsets
@@ -118,20 +143,22 @@ def _block_offsets(edge_rows: list[dict]) -> dict[tuple, int]:
 def keyed_prefix_sum(
     ds: "ray.data.Dataset",
     part_col: str,
-    order_col: str,
+    order_cols: str | list[str],
     value_col: str,
     out_col: str = "cum",
 ) -> "ray.data.Dataset":
     """Inclusive per-partition running sum of an int64 column, ordered
-    by ``order_col``; returns the sorted table plus ``out_col``."""
-    sorted_ds = ds.sort([part_col, order_col]).materialize()
+    by ``order_cols``; returns the sorted table plus ``out_col``."""
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    sorted_ds = ds.sort([part_col, *order_cols]).materialize()
 
     edges = sorted_ds.map_batches(
-        _block_edge_sums(part_col, order_col, value_col),
+        _block_edge_sums(part_col, order_cols, value_col),
         batch_size=None,
         batch_format="pyarrow",
     ).take_all()  # ≤ 2 rows per block
-    offsets_ref = ray.put(_block_offsets(edges))
+    offsets_ref = ray.put(_block_offsets(edges, len(order_cols)))
 
     def add_cum(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -143,7 +170,7 @@ def keyed_prefix_sum(
         vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cum = np.cumsum(vals)
         # reset at partition boundaries: subtract the cumulative total
-        # reached just before each segment start
+        # reached just before each segment start (exact for any sign)
         seg_start = np.flatnonzero(
             np.concatenate(([True], np_parts[1:] != np_parts[:-1]))
         )
@@ -151,8 +178,7 @@ def keyed_prefix_sum(
         seg_base = np.concatenate(([0], cum[seg_start[1:] - 1]))
         cum = cum - np.repeat(seg_base, seg_lens)
         offsets = ray.get(offsets_ref)
-        key = (str(np_parts[0]), int(batch[order_col][0].as_py()))
-        off = offsets.get(key, 0)
+        off = offsets.get(_block_id(batch, part_col, order_cols), 0)
         if off:
             first_len = int(
                 np.searchsorted(np_parts, np_parts[0], side="right")

@@ -65,6 +65,7 @@ def _to_pandas(res):
         "events_value_median",
         "events_value_hour_corr",
         "pack_contexts",
+        "customer_running_spend",
         "daily_retention",
         "source_distinct_exact",
         "events_value_histogram",

@@ -85,3 +85,34 @@ def test_scan_single_row_parts(ray_session):
     )
     got = _run(df, 8)
     assert (got["cum"] == got["val"]).all()
+
+
+def test_scan_int_partitions_and_composite_order(ray_session):
+    """Integer partition keys must order numerically (10 > 2), and the
+    order key can be composite (date with ties broken by id)."""
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "part": rng.integers(0, 300, n).astype(np.int64),  # >255 parts
+            "o1": rng.integers(0, 5, n).astype(np.int64),      # ties
+            "o2": np.arange(n, dtype=np.int64),                # tiebreak
+            "val": rng.integers(-10, 10, n).astype(np.int64),
+        }
+    )
+    import ray.data
+
+    ds = ray.data.from_pandas(df).repartition(16)
+    got = (
+        keyed_prefix_sum(ds, "part", ["o1", "o2"], "val", "cum")
+        .to_pandas()
+        .sort_values(["part", "o1", "o2"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["part", "o1", "o2"]).reset_index(drop=True)
+    exp["cum"] = exp.groupby("part")["val"].cumsum()
+    pd.testing.assert_frame_equal(
+        got[["part", "o1", "o2", "val", "cum"]],
+        exp[["part", "o1", "o2", "val", "cum"]],
+        check_dtype=False,
+    )

@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_distinct_exact": analytics.source_distinct_exact,
         "events_value_histogram": analytics.events_value_histogram,
         "bigram_lift": analytics.bigram_lift,
+        "events_type_pivot": analytics.events_type_pivot,
+        "source_token_set_ops": analytics.source_token_set_ops,
+        "source_chars_stats": analytics.source_chars_stats,
         # --- embeddings (SQL-checked) ---
         "embedding_norms": ann.embedding_norms,
         "ann_topk": ann.ann_topk,
@@ -298,6 +301,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bin, "
             "CAST(COUNT(*) AS BIGINT) AS cnt "
             "FROM events GROUP BY event_type, bin"
+        ),
+        # long→wide pivot: one column per event type
+        "events_type_pivot": (
+            "SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            + ", ".join(
+                "CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+                "AS BIGINT) AS n_{t}".format(t=t)
+                for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events GROUP BY day"
+        ),
+        # exact vocabulary set algebra between two sources (the exact
+        # counterpart of the KMV source_shingle_overlap estimates)
+        "source_token_set_ops": (
+            "WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents WHERE source IN ('src0', 'src1')), "
+            "a AS (SELECT DISTINCT token FROM w WHERE source = 'src0' "
+            "AND token <> ''), "
+            "b AS (SELECT DISTINCT token FROM w WHERE source = 'src1' "
+            "AND token <> ''), "
+            "i AS (SELECT COUNT(*) AS c FROM a JOIN b USING (token)) "
+            "SELECT 'src0' AS source_a, 'src1' AS source_b, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS size_a, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS size_b, "
+            "CAST(i.c AS BIGINT) AS inter, "
+            "CAST((SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b) - i.c "
+            "AS BIGINT) AS union_sz, "
+            "CAST(i.c AS DOUBLE) / ((SELECT COUNT(*) FROM a) + "
+            "(SELECT COUNT(*) FROM b) - i.c) AS jaccard FROM i"
+        ),
+        # exact mergeable moments: mean/std from (n, Σx, Σx²)
+        "source_chars_stats": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars, "
+            "SQRT(CAST(COUNT(*) * SUM(n_chars * n_chars) - "
+            "SUM(n_chars) * SUM(n_chars) AS DOUBLE)) / COUNT(*) AS std_chars "
+            "FROM documents GROUP BY source"
         ),
         # lift = cnt_ab * N / (cnt_a * cnt_b); identical operation order
         # on both sides keeps the doubles bit-comparable

@@ -2075,3 +2075,164 @@ def customer_running_spend(sf_dir: str):
         )
 
     return with_cum.map_batches(finalize, batch_format="pyarrow")
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str):
+    """Long→wide pivot: one row per day with a count column per event
+    type.  The pivot happens inside the per-block combiner (a 5-way
+    vectorized compare), so the shuffle carries one wide row per
+    (block, day) — the pivot itself never reshapes post-shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts_us // 86_400_000_000
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        et_np = et.to_numpy(zero_copy_only=False)
+        cols = {"day": pa.array(day, pa.int64())}
+        for t in _PIVOT_TYPES:
+            cols[f"n_{t}"] = pa.array((et_np == t).astype(np.int64))
+        return _group_sum(pa.table(cols), ["day"])
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _PIVOT_TYPES]
+    return (
+        read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(*aggs)
+    )
+
+
+def source_token_set_ops(sf_dir: str, src_a: str = "src0", src_b: str = "src1"):
+    """Exact set algebra between two sources' token vocabularies:
+    |A|, |B|, |A∩B|, |A∪B| and Jaccard — the exact counterpart (and
+    validation oracle) of the KMV-sketch ``source_shingle_overlap``.
+
+    The source filter prunes at the scan; per-block distinct
+    (token, in_a, in_b) flags combine through one groupby Max — the
+    shuffle carries each block's distinct tokens once, never rows.
+    """
+    from ray.data.aggregate import Max
+
+    def flags(batch: pa.Table) -> pa.Table:
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        lists = textops.split_words(batch["text"])
+        rep = pc.list_parent_indices(lists)
+        srcs = src.take(rep).to_numpy(zero_copy_only=False)
+        toks = lists.flatten()
+        t = pa.table(
+            {
+                "token": toks,
+                "in_a": pa.array((srcs == src_a).astype(np.int64)),
+                "in_b": pa.array((srcs == src_b).astype(np.int64)),
+            }
+        )
+        return pa.TableGroupBy(t, ["token"]).aggregate(
+            [("in_a", "max"), ("in_b", "max")]
+        ).rename_columns(["token", "in_a", "in_b"])
+
+    per_token = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["source", "text"],
+            filter=pc.field("source").isin([src_a, src_b]),
+        )
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        a = batch["in_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["in_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "size_a": pa.array([int(a.sum())], pa.int64()),
+                "size_b": pa.array([int(b.sum())], pa.int64()),
+                "inter": pa.array([int((a & b).sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        per_token.map_batches(counts, batch_format="pyarrow")
+        .aggregate(
+            Sum("size_a", alias_name="size_a"),
+            Sum("size_b", alias_name="size_b"),
+            Sum("inter", alias_name="inter"),
+        )
+    )
+    size_a, size_b, inter = (
+        int(agg["size_a"]), int(agg["size_b"]), int(agg["inter"])
+    )
+    union = size_a + size_b - inter
+    return pd.DataFrame(
+        {
+            "source_a": [src_a],
+            "source_b": [src_b],
+            "size_a": [size_a],
+            "size_b": [size_b],
+            "inter": [inter],
+            "union_sz": [union],
+            "jaccard": [np.float64(inter) / union],
+        }
+    )
+
+
+def source_chars_stats(sf_dir: str):
+    """Per-source n/mean/std of document length via exact mergeable
+    moments (n, Σx, Σx²): one groupby of integer partials, one final
+    double expression identical to the SQL oracle — the distributed-
+    statistics pattern of ``events_value_hour_corr`` in its simplest
+    form."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(x),
+                "sxx": pa.array(x * x),
+            }
+        )
+        return _group_sum(t, ["source"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = batch["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = sx.astype(np.float64) / n
+        # population std; same expression order as the oracle
+        std = np.sqrt((n * sxx - sx * sx).astype(np.float64)) / n
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(n, pa.int64()),
+                "mean_chars": pa.array(mean, pa.float64()),
+                "std_chars": pa.array(std, pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

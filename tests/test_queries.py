@@ -70,6 +70,9 @@ def _to_pandas(res):
         "source_distinct_exact",
         "events_value_histogram",
         "bigram_lift",
+        "events_type_pivot",
+        "source_token_set_ops",
+        "source_chars_stats",
         "bigram_counts",
         "doc_token_stats",
         "doc_top_tfidf",

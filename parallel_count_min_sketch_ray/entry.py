@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region": analytics.orders_by_region,
         "order_lineitem_join": analytics.order_lineitem_join,
         "customers_without_orders": analytics.customers_without_orders,
+        "shipping_priority": analytics.shipping_priority,
         "brand_nation_revenue": analytics.brand_nation_revenue,
         "events_value_stats": analytics.events_value_stats,
         "events_value_median": analytics.events_value_median,
@@ -270,6 +271,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS chars "
             "FROM c GROUP BY 1, 2"
+        ),
+        # TPC-H Q3 shape: segment semi-join + hash join + top-k revenue
+        "shipping_priority": (
+            "WITH r AS (SELECT l_orderkey, "
+            "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev "
+            "FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey), "
+            "j AS (SELECT o.o_orderkey, "
+            "CAST(r.rev AS DOUBLE) / 10000.0 AS revenue, "
+            "CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) "
+            "AS orderdate_day, o.o_orderpriority "
+            "FROM orders o JOIN r ON r.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01') "
+            "SELECT o_orderkey, revenue, orderdate_day, o_orderpriority, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, orderdate_day, "
+            "o_orderkey) AS BIGINT) AS rnk FROM j QUALIFY rnk <= 10"
         ),
         # running-total window through the distributed scan; integer
         # cents inside, one final divide — doubles match bit-for-bit

@@ -2236,3 +2236,94 @@ def source_chars_stats(sf_dir: str):
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def shipping_priority(sf_dir: str, cutoff: str = "1998-01-01", k: int = 10):
+    """TPC-H Q3 shape: top-k unshipped orders by revenue for one market
+    segment — a three-table plan that composes the repo's join tiers:
+    the segment's customer keys ride the broadcast tier (a semi-join
+    filter applied inside the orders scan), then orders⋈lineitem runs
+    as the native hash join with size-derived partitions.  Revenue sums
+    as integer 1e-4 dollars (exact, associative); both date predicates
+    are pushed into the parquet scans.
+    """
+    cutoff_us = np.datetime64(cutoff, "us").astype(np.int64)
+    cutoff_ts = pd.Timestamp(cutoff)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    ).take_all()
+    keys = np.sort(np.array([r["c_custkey"] for r in cust], dtype=np.int64))
+    keys_ref = ray.put(keys)
+
+    def orders_semi(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        kk = ray.get(keys_ref)
+        pos = np.searchsorted(kk, ck)
+        pos[pos == len(kk)] = 0
+        return batch.filter(pa.array(kk[pos] == ck)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < cutoff_ts,
+    ).map_batches(orders_semi, batch_format="pyarrow")
+
+    def line_revenue(batch: pa.Table) -> pa.Table:
+        ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev": pa.array(ext_c * (100 - disc_c), pa.int64()),
+            }
+        )
+        return _group_sum(t, ["l_orderkey"])
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > cutoff_ts,
+    ).map_batches(line_revenue, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    joined = (
+        lineitem.groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .join(
+            orders,
+            join_type="inner",
+            num_partitions=_join_partitions(sf_dir, ["orders", "lineitem"]),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rev = batch["rev"].to_numpy(zero_copy_only=False).astype(np.float64)
+        date_us = (
+            batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "revenue": pa.array(rev / 10000.0, pa.float64()),
+                "orderdate_day": pa.array(date_us // 86_400_000_000, pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    top = (
+        joined.map_batches(finalize, batch_format="pyarrow")
+        .sort(["revenue", "orderdate_day", "o_orderkey"],
+              descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top

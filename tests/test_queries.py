@@ -85,6 +85,7 @@ def _to_pandas(res):
         "events_rollup",
         "pricing_summary",
         "customers_without_orders",
+        "shipping_priority",
         "orders_by_segment",
         "embedding_norms",
         "ann_topk",

@@ -40,6 +40,12 @@ def _media_decode_stats(sf_dir: str):
     return media_decode_stats(sf_dir)
 
 
+def _media_near_dup(sf_dir: str):
+    from parallel_count_min_sketch_ray.pipelines.multimodal import media_near_dup
+
+    return media_near_dup(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: single-pass CMS+HLL+KLL+Bloom over tokenized documents
     at sf0.001; returns a summary DataFrame (stable schema)."""
@@ -119,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": analytics.events_type_pivot,
         "source_token_set_ops": analytics.source_token_set_ops,
         "source_chars_stats": analytics.source_chars_stats,
+        "corpus_sample": analytics.corpus_sample,
         # --- embeddings (SQL-checked) ---
         "embedding_norms": ann.embedding_norms,
         "ann_topk": ann.ann_topk,
@@ -155,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality": textpipe.lang_quality,  # SQL-checked
         "quality_model_scores": textpipe.quality_model_scores,  # actor-pool inference
         "media_decode_stats": _media_decode_stats,
+        "media_near_dup": _media_near_dup,
         "doc_fingerprints": textpipe.doc_fingerprints,
     }
 
@@ -350,6 +358,13 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS union_sz, "
             "CAST(i.c AS DOUBLE) / ((SELECT COUNT(*) FROM a) + "
             "(SELECT COUNT(*) FROM b) - i.c) AS jaccard FROM i"
+        ),
+        # deterministic hash-ordered global sample (bottom-n by md5)
+        "corpus_sample": (
+            "SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS digest, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), "
+            "doc_id) AS BIGINT) AS rnk FROM documents "
+            "QUALIFY rnk <= 50"
         ),
         # exact mergeable moments: mean/std from (n, Σx, Σx²)
         "source_chars_stats": (

@@ -2327,3 +2327,36 @@ def shipping_priority(sf_dir: str, cutoff: str = "1998-01-01", k: int = 10):
     )
     top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top
+
+
+def corpus_sample(sf_dir: str, n: int = 50):
+    """Deterministic uniform corpus sample: the n docs with the
+    smallest md5(doc_id) — coordination-free (any rerun, any node, and
+    the SQL oracle pick the identical set, no RNG state) and cheap at
+    scale: each block prunes to its local bottom-n before the tiny
+    final sort, so the exchange is ≤ blocks·n rows, never the corpus.
+    """
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        digests = np.array(
+            textops.md5_digests([str(i) for i in ids]), dtype=object
+        )
+        order = np.lexsort((ids, digests))[: min(n, len(ids))]
+        order.sort()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "digest": pa.array(digests[order].tolist(), pa.string()),
+            }
+        )
+
+    top = (
+        read(sf_dir, "documents", ["doc_id"])
+        .map_batches(prune, batch_format="pyarrow")
+        .sort(["digest", "doc_id"])
+        .limit(n)
+        .to_pandas()
+    )
+    top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top

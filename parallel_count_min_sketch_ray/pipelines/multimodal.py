@@ -357,3 +357,93 @@ def audio_window_pipeline(ds, *, window_bytes: int = 1024, batch_size: int = 64,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def synthesize_media_with_dups(
+    num_rows: int, seed: int = 43, dup_fraction: float = 0.1
+) -> tuple[pa.Table, set[tuple[int, int]]]:
+    """Media corpus with planted byte-identical duplicates: a seeded
+    set of rows in the second half copies (payload, width, height)
+    from first-half rows.  Returns the table and the planted pair set
+    — identical payloads must produce identical features on EVERY
+    decoder path (real codec, injected, or fake), so the pairs are the
+    ground truth for the composed near-dup chain."""
+    t = synthesize_media_table(num_rows, seed)
+    rng = np.random.default_rng(seed + 1)
+    n_dup = max(1, int(num_rows * dup_fraction))
+    dst = rng.choice(
+        np.arange(num_rows // 2, num_rows), size=n_dup, replace=False
+    )
+    src = rng.integers(0, num_rows // 2, size=n_dup)
+    payloads = t["payload"].to_pylist()
+    widths = t["width"].to_numpy().copy()
+    heights = t["height"].to_numpy().copy()
+    planted: set[tuple[int, int]] = set()
+    for d, s in zip(dst.tolist(), src.tolist()):
+        payloads[d] = payloads[s]
+        widths[d] = widths[s]
+        heights[d] = heights[s]
+        planted.add((s, d))
+    out = pa.table(
+        {
+            "media_id": t["media_id"],
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": t["mime"],
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "n_frames": t["n_frames"],
+        }
+    )
+    return out, planted
+
+
+def media_near_dup(
+    sf_dir: str,
+    num_rows: int = 256,
+    dup_fraction: float = 0.1,
+    threshold: float = 0.9999,
+) -> "object":
+    """Composed multimodal chain: decode (actor pool) → per-image
+    feature embedding → cosine near-dup over the decoded features —
+    the image-dedup pipeline every multimodal training corpus runs,
+    end-to-end through the Ray plumbing.
+
+    The pair scoring here collects the (tiny, demo-scale) feature
+    matrix and scores exactly; at corpus scale the same embedding
+    column feeds ``ann.embedding_near_dup_lsh`` (hyperplane buckets)
+    unchanged.  Returns one summary row including recall on the
+    planted byte-identical duplicates (must be 1.0: same payload →
+    same pixels → same embedding on any decoder path).
+    """
+    import pandas as pd
+
+    import ray.data
+
+    table, planted = synthesize_media_with_dups(
+        num_rows, seed=43, dup_fraction=dup_fraction
+    )
+    step = max(1, num_rows // 8)
+    media = ray.data.from_arrow(
+        [table.slice(i, step) for i in range(0, num_rows, step)]
+    )
+    decoded = decode_pipeline(media, batch_size=32, concurrency=2).to_pandas()
+    decoded = decoded.sort_values("media_id").reset_index(drop=True)
+    mat = np.stack(decoded["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.maximum(norms, 1e-30)[:, None]
+    sims = unit @ unit.T
+    iu, ju = np.triu_indices(len(unit), k=1)
+    hit = sims[iu, ju] >= threshold
+    pairs = {
+        (int(a), int(b)) for a, b in zip(iu[hit].tolist(), ju[hit].tolist())
+    }
+    found = sum(1 for p in planted if p in pairs)
+    return pd.DataFrame(
+        {
+            "n_media": [num_rows],
+            "n_pairs": [len(pairs)],
+            "n_planted": [len(planted)],
+            "planted_found": [found],
+            "planted_recall": [np.float64(found) / len(planted)],
+        }
+    )

@@ -73,6 +73,7 @@ def _to_pandas(res):
         "events_type_pivot",
         "source_token_set_ops",
         "source_chars_stats",
+        "corpus_sample",
         "bigram_counts",
         "doc_token_stats",
         "doc_top_tfidf",

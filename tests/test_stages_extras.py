@@ -502,3 +502,16 @@ def test_per_source_cap_across_many_blocks(ray_session, tmp_path):
     ).df()
     assert got["doc_id"].tolist() == ora["doc_id"].tolist()
     assert got["rnk"].astype(int).tolist() == ora["rnk"].astype(int).tolist()
+
+
+def test_media_near_dup_finds_planted_duplicates(ray_session):
+    """The composed multimodal chain (decode actor pool → features →
+    cosine pairs) must recover every planted byte-identical duplicate:
+    identical payloads decode to identical pixels on any codec path."""
+    from parallel_count_min_sketch_ray.pipelines.multimodal import media_near_dup
+
+    out = media_near_dup("unused", num_rows=128, dup_fraction=0.125)
+    assert int(out["n_planted"].iloc[0]) >= 1
+    assert float(out["planted_recall"].iloc[0]) == 1.0
+    # every planted pair is also a reported pair
+    assert int(out["n_pairs"].iloc[0]) >= int(out["n_planted"].iloc[0])

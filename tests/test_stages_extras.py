@@ -515,3 +515,27 @@ def test_media_near_dup_finds_planted_duplicates(ray_session):
     assert float(out["planted_recall"].iloc[0]) == 1.0
     # every planted pair is also a reported pair
     assert int(out["n_pairs"].iloc[0]) >= int(out["n_planted"].iloc[0])
+
+
+def test_csv_and_json_sink_roundtrip(ray_session, tmp_path):
+    """Source/sink format breadth beyond parquet: a query result
+    written as CSV and JSONL reads back value-identical (the reference
+    writes benchmark CSVs, mpi_benchmark.py:186-207)."""
+    import ray.data
+
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        source_token_totals,
+    )
+    from tests.conftest import SF_UNIT
+
+    res = source_token_totals(SF_UNIT)
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "jsonl")
+    res.write_csv(csv_dir)
+    source_token_totals(SF_UNIT).write_json(json_dir)
+
+    base = res.to_pandas().sort_values("source").reset_index(drop=True)
+    for back in (ray.data.read_csv(csv_dir), ray.data.read_json(json_dir)):
+        df = back.to_pandas().sort_values("source").reset_index(drop=True)
+        assert list(df["source"]) == list(base["source"])
+        assert list(df["n_tokens"]) == list(base["n_tokens"])
+        assert list(df["n_docs"]) == list(base["n_docs"])

@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_set_ops": analytics.source_token_set_ops,
         "source_chars_stats": analytics.source_chars_stats,
         "corpus_sample": analytics.corpus_sample,
+        "events_user_seq": analytics.events_user_seq,
         # --- embeddings (SQL-checked) ---
         "embedding_norms": ann.embedding_norms,
         "ann_topk": ann.ann_topk,
@@ -358,6 +359,15 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS union_sz, "
             "CAST(i.c AS DOUBLE) / ((SELECT COUNT(*) FROM a) + "
             "(SELECT COUNT(*) FROM b) - i.c) AS jaccard FROM i"
+        ),
+        # two windows (ROW_NUMBER + running sum) in one scan pass
+        "events_user_seq": (
+            "SELECT user_id, event_id, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) "
+            "/ 100.0 AS running_value FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY event_id "
+            "ROWS UNBOUNDED PRECEDING)"
         ),
         # deterministic hash-ordered global sample (bottom-n by md5)
         "corpus_sample": (

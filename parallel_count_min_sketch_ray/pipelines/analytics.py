@@ -2360,3 +2360,46 @@ def corpus_sample(sf_dir: str, n: int = 50):
     )
     top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top
+
+
+def events_user_seq(sf_dir: str):
+    """Per-user event sequence number (ROW_NUMBER) and running value
+    total — two window functions in ONE scan pass: the multi-value
+    prefix sum carries (ones, cents) through a single sort, so the
+    second window is free.  Integer cents inside; doubles bit-match
+    the oracle.
+    """
+    from parallel_count_min_sketch_ray.stages.scan import keyed_prefix_sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    ds = read(sf_dir, "events", ["user_id", "event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    with_cum = keyed_prefix_sum(
+        ds, "user_id", "event_id", ["one", "cents"], ["seq", "cum_cents"]
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        run = batch["cum_cents"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ) / 100.0
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "seq": batch["seq"],
+                "running_value": pa.array(run, pa.float64()),
+            }
+        )
+
+    return with_cum.map_batches(finalize, batch_format="pyarrow")

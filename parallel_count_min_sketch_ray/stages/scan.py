@@ -63,10 +63,11 @@ def _typed_first(batch: pa.Table, col: str, nrows: int) -> pa.Array:
     return pa.concat_arrays([first] * nrows)
 
 
-def _block_edge_sums(part_col: str, order_cols: list[str], value_col: str):
-    """Per block: 1-2 rows of (blk id, edge partition, in-block sum of
-    that partition), plus the block's typed first-row sort key (same
-    value on every row of the block) for driver-side ordering."""
+def _block_edge_sums(part_col: str, order_cols: list[str], value_cols: list[str]):
+    """Per block: 1-2 rows of (blk id, edge partition, in-block sums of
+    that partition — one column per value), plus the block's typed
+    first-row sort key (same value on every row of the block) for
+    driver-side ordering."""
 
     def summarize(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -74,16 +75,20 @@ def _block_edge_sums(part_col: str, order_cols: list[str], value_col: str):
             cols = {
                 "blk": pa.array([], pa.string()),
                 "part": pa.array([], pa.string()),
-                "edge_sum": pa.array([], pa.int64()),
                 "__kp": batch[part_col].slice(0, 0),
             }
-            for i, c in enumerate(order_cols):
-                cols[f"__k{i}"] = batch[c].slice(0, 0)
+            for j in range(len(value_cols)):
+                cols[f"edge_sum_{j}"] = pa.array([], pa.int64())
+            for i in range(len(order_cols)):
+                cols[f"__k{i}"] = batch[order_cols[i]].slice(0, 0)
             return pa.table(cols)
         parts = batch[part_col]
         if isinstance(parts, pa.ChunkedArray):
             parts = parts.combine_chunks()
-        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = [
+            batch[v].to_numpy(zero_copy_only=False).astype(np.int64)
+            for v in value_cols
+        ]
         np_parts = parts.to_numpy(zero_copy_only=False)
         first_part, last_part = str(np_parts[0]), str(np_parts[-1])
         blk = _block_id(batch, part_col, order_cols)
@@ -91,22 +96,24 @@ def _block_edge_sums(part_col: str, order_cols: list[str], value_col: str):
         # prefixes/suffixes — find the boundaries without a group-by
         first_len = int(np.searchsorted(np_parts, np_parts[0], side="right"))
         out_part = [first_part]
-        out_sum = [int(vals[:first_len].sum())]
+        out_sums = [[int(v[:first_len].sum())] for v in vals]
         if last_part != first_part:
             last_start = int(
                 np.searchsorted(np_parts, np_parts[-1], side="left")
             )
             out_part.append(last_part)
-            out_sum.append(int(vals[last_start:].sum()))
+            for j, v in enumerate(vals):
+                out_sums[j].append(int(v[last_start:].sum()))
         nrows = len(out_part)
         cols = {
             "blk": pa.array([blk] * nrows, pa.string()),
             "part": pa.array(out_part, pa.string()),
-            "edge_sum": pa.array(out_sum, pa.int64()),
             # typed first-row sort key (part + order cols): the driver
             # must order blocks by native type order, not by repr
             "__kp": _typed_first(batch, part_col, nrows),
         }
+        for j in range(len(value_cols)):
+            cols[f"edge_sum_{j}"] = pa.array(out_sums[j], pa.int64())
         for i, c in enumerate(order_cols):
             cols[f"__k{i}"] = _typed_first(batch, c, nrows)
         return pa.table(cols)
@@ -114,10 +121,13 @@ def _block_edge_sums(part_col: str, order_cols: list[str], value_col: str):
     return summarize
 
 
-def _block_offsets(edge_rows: list[dict], n_order: int) -> dict[str, int]:
+def _block_offsets(
+    edge_rows: list[dict], n_order: int, n_vals: int
+) -> dict[str, tuple]:
     """Order blocks by their typed first-row keys, then walk them
-    keeping running totals for edge partitions only; a block's offset
-    is the running total of its first partition."""
+    keeping running totals for edge partitions only; a block's offsets
+    are the running totals (one per value column) of its first
+    partition."""
     by_block: dict[str, list[dict]] = {}
     for r in edge_rows:
         by_block.setdefault(r["blk"], []).append(r)
@@ -128,15 +138,18 @@ def _block_offsets(edge_rows: list[dict], n_order: int) -> dict[str, int]:
             *[rows[0][f"__k{i}"] for i in range(n_order)],
         ),
     )
-    running: dict[str, int] = {}
-    offsets: dict[str, int] = {}
+    running: dict[str, list[int]] = {}
+    offsets: dict[str, tuple] = {}
+    zeros = [0] * n_vals
     for rows in blocks:
         first_part = rows[0]["part"]
-        off = running.get(first_part, 0)
-        if off:
-            offsets[rows[0]["blk"]] = off
+        off = running.get(first_part, zeros)
+        if any(off):
+            offsets[rows[0]["blk"]] = tuple(off)
         for r in rows:
-            running[r["part"]] = running.get(r["part"], 0) + r["edge_sum"]
+            acc = running.setdefault(r["part"], [0] * n_vals)
+            for j in range(n_vals):
+                acc[j] += r[f"edge_sum_{j}"]
     return offsets
 
 
@@ -144,47 +157,60 @@ def keyed_prefix_sum(
     ds: "ray.data.Dataset",
     part_col: str,
     order_cols: str | list[str],
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
 ) -> "ray.data.Dataset":
-    """Inclusive per-partition running sum of an int64 column, ordered
-    by ``order_cols``; returns the sorted table plus ``out_col``."""
+    """Inclusive per-partition running sums of one or more int64
+    columns (one sort, one pass — a multi-column window), ordered by
+    ``order_cols``; returns the sorted table plus the out column(s)."""
     if isinstance(order_cols, str):
         order_cols = [order_cols]
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(out_cols) != len(value_cols):
+        raise ValueError("out_col count must match value_col count")
     sorted_ds = ds.sort([part_col, *order_cols]).materialize()
 
     edges = sorted_ds.map_batches(
-        _block_edge_sums(part_col, order_cols, value_col),
+        _block_edge_sums(part_col, order_cols, value_cols),
         batch_size=None,
         batch_format="pyarrow",
     ).take_all()  # ≤ 2 rows per block
-    offsets_ref = ray.put(_block_offsets(edges, len(order_cols)))
+    offsets_ref = ray.put(
+        _block_offsets(edges, len(order_cols), len(value_cols))
+    )
 
     def add_cum(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column(out_col, pa.array([], pa.int64()))
+            for oc in out_cols:
+                batch = batch.append_column(oc, pa.array([], pa.int64()))
+            return batch
         parts = batch[part_col]
         if isinstance(parts, pa.ChunkedArray):
             parts = parts.combine_chunks()
         np_parts = parts.to_numpy(zero_copy_only=False)
-        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        cum = np.cumsum(vals)
-        # reset at partition boundaries: subtract the cumulative total
-        # reached just before each segment start (exact for any sign)
+        # segment boundaries: reset the running sum at each partition
+        # start by subtracting the total reached just before it (exact
+        # for any sign)
         seg_start = np.flatnonzero(
             np.concatenate(([True], np_parts[1:] != np_parts[:-1]))
         )
-        seg_lens = np.diff(np.concatenate((seg_start, [len(cum)])))
-        seg_base = np.concatenate(([0], cum[seg_start[1:] - 1]))
-        cum = cum - np.repeat(seg_base, seg_lens)
+        n = batch.num_rows
+        seg_lens = np.diff(np.concatenate((seg_start, [n])))
         offsets = ray.get(offsets_ref)
-        off = offsets.get(_block_id(batch, part_col, order_cols), 0)
-        if off:
-            first_len = int(
-                np.searchsorted(np_parts, np_parts[0], side="right")
-            )
-            cum[:first_len] += off
-        return batch.append_column(out_col, pa.array(cum, pa.int64()))
+        offs = offsets.get(
+            _block_id(batch, part_col, order_cols), (0,) * len(value_cols)
+        )
+        first_len = int(np.searchsorted(np_parts, np_parts[0], side="right"))
+        for j, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+            vals = batch[vc].to_numpy(zero_copy_only=False).astype(np.int64)
+            cum = np.cumsum(vals)
+            seg_base = np.concatenate(([0], cum[seg_start[1:] - 1]))
+            cum = cum - np.repeat(seg_base, seg_lens)
+            if offs[j]:
+                cum[:first_len] += offs[j]
+            batch = batch.append_column(oc, pa.array(cum, pa.int64()))
+        return batch
 
     return sorted_ds.map_batches(
         add_cum, batch_size=None, batch_format="pyarrow"

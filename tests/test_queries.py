@@ -66,6 +66,7 @@ def _to_pandas(res):
         "events_value_hour_corr",
         "pack_contexts",
         "customer_running_spend",
+        "events_user_seq",
         "daily_retention",
         "source_distinct_exact",
         "events_value_histogram",

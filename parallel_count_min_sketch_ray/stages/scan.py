@@ -181,37 +181,53 @@ def keyed_prefix_sum(
     )
 
     def add_cum(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            for oc in out_cols:
-                batch = batch.append_column(oc, pa.array([], pa.int64()))
-            return batch
-        parts = batch[part_col]
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        np_parts = parts.to_numpy(zero_copy_only=False)
-        # segment boundaries: reset the running sum at each partition
-        # start by subtracting the total reached just before it (exact
-        # for any sign)
-        seg_start = np.flatnonzero(
-            np.concatenate(([True], np_parts[1:] != np_parts[:-1]))
+        return _apply_block_cumsum(
+            batch, part_col, order_cols, value_cols, out_cols,
+            ray.get(offsets_ref),
         )
-        n = batch.num_rows
-        seg_lens = np.diff(np.concatenate((seg_start, [n])))
-        offsets = ray.get(offsets_ref)
-        offs = offsets.get(
-            _block_id(batch, part_col, order_cols), (0,) * len(value_cols)
-        )
-        first_len = int(np.searchsorted(np_parts, np_parts[0], side="right"))
-        for j, (vc, oc) in enumerate(zip(value_cols, out_cols)):
-            vals = batch[vc].to_numpy(zero_copy_only=False).astype(np.int64)
-            cum = np.cumsum(vals)
-            seg_base = np.concatenate(([0], cum[seg_start[1:] - 1]))
-            cum = cum - np.repeat(seg_base, seg_lens)
-            if offs[j]:
-                cum[:first_len] += offs[j]
-            batch = batch.append_column(oc, pa.array(cum, pa.int64()))
-        return batch
 
     return sorted_ds.map_batches(
         add_cum, batch_size=None, batch_format="pyarrow"
     )
+
+
+def _apply_block_cumsum(
+    batch: pa.Table,
+    part_col: str,
+    order_cols: list[str],
+    value_cols: list[str],
+    out_cols: list[str],
+    offsets: dict[str, tuple],
+) -> pa.Table:
+    """Pass 2 kernel (pure, Ray-free — property-tested directly): the
+    in-block running sum per partition plus the block's cross-block
+    offset on its first partition."""
+    if batch.num_rows == 0:
+        for oc in out_cols:
+            batch = batch.append_column(oc, pa.array([], pa.int64()))
+        return batch
+    parts = batch[part_col]
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    np_parts = parts.to_numpy(zero_copy_only=False)
+    # segment boundaries: reset the running sum at each partition
+    # start by subtracting the total reached just before it (exact
+    # for any sign)
+    seg_start = np.flatnonzero(
+        np.concatenate(([True], np_parts[1:] != np_parts[:-1]))
+    )
+    n = batch.num_rows
+    seg_lens = np.diff(np.concatenate((seg_start, [n])))
+    offs = offsets.get(
+        _block_id(batch, part_col, order_cols), (0,) * len(value_cols)
+    )
+    first_len = int(np.searchsorted(np_parts, np_parts[0], side="right"))
+    for j, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+        vals = batch[vc].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(vals)
+        seg_base = np.concatenate(([0], cum[seg_start[1:] - 1]))
+        cum = cum - np.repeat(seg_base, seg_lens)
+        if offs[j]:
+            cum[:first_len] += offs[j]
+        batch = batch.append_column(oc, pa.array(cum, pa.int64()))
+    return batch

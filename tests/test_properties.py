@@ -193,3 +193,69 @@ def test_tdigest_split_merge_rank_envelope(items, cut):
         # tiny streams are exact up to 1/n granularity
         eps = 0.02 + 1.0 / s.size
         assert lo - eps <= q <= hi + eps
+
+
+# --- distributed scan kernels (pure, Ray-free): random tables split at
+# random block boundaries must reproduce the sequential prefix sum ---
+
+import pandas as pd
+import pyarrow as pa
+
+from parallel_count_min_sketch_ray.stages.scan import (
+    _apply_block_cumsum,
+    _block_edge_sums,
+    _block_offsets,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),      # part
+            st.integers(min_value=-100, max_value=100),  # value
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=199), max_size=8),
+)
+def test_scan_block_decomposition_matches_sequential(data, cuts):
+    df = pd.DataFrame(
+        {
+            "part": [f"p{p}" for p, _ in data],
+            "order": range(len(data)),
+            "val": [v for _, v in data],
+        }
+    ).sort_values(["part", "order"]).reset_index(drop=True)
+    n = len(df)
+    bounds = sorted({c for c in cuts if c < n} | {0, n})
+    blocks = [
+        pa.Table.from_pandas(
+            df.iloc[a:b].reset_index(drop=True), preserve_index=False
+        )
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    summarize = _block_edge_sums("part", ["order"], ["val"])
+    edge_rows = [
+        r for blk in blocks for r in summarize(blk).to_pylist()
+    ]
+    offsets = _block_offsets(edge_rows, 1, 1)
+    got = pd.concat(
+        [
+            _apply_block_cumsum(
+                blk, "part", ["order"], ["val"], ["cum"], offsets
+            ).to_pandas()
+            for blk in blocks
+        ],
+        ignore_index=True,
+    )
+    exp = df.copy()
+    exp["cum"] = exp.groupby("part")["val"].cumsum()
+    pd.testing.assert_frame_equal(
+        got[["part", "order", "val", "cum"]],
+        exp[["part", "order", "val", "cum"]],
+        check_dtype=False,
+    )
+    # coordination bound: the exchange is ≤ 2 rows per block
+    assert len(edge_rows) <= 2 * len(blocks)

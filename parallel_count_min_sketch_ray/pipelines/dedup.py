@@ -570,6 +570,9 @@ _EMPTY_PARTIAL = pd.DataFrame(
 )
 
 
+_ngram_pairs_cache: dict[tuple, pd.DataFrame] = {}
+
+
 def ngram_jaccard_pairs(
     sf_dir: str,
     k: int = 3,
@@ -603,7 +606,20 @@ def ngram_jaccard_pairs(
     exact).  Docs with zero shingles (empty text) pair at jaccard 1.0,
     matching :func:`exact_jaccard`'s both-empty convention, via a
     sentinel bucket.
+
+    The (small, candidate-proportional) pair table is memoized per
+    (sf_dir, Ray job, params) — ``neardup_components`` consumes the
+    same pairs, and recomputing the heaviest shuffle in the suite for
+    each downstream view is the anti-pattern ``token_counts`` already
+    documents.
     """
+    from parallel_count_min_sketch_ray.pipelines.analytics import _cache_key
+
+    memo_key = (*_cache_key(sf_dir), "ngram_pairs", k, threshold,
+                num_buckets, max_df)
+    cached = _ngram_pairs_cache.get(memo_key)
+    if cached is not None:
+        return cached.copy()
 
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -689,10 +705,13 @@ def ngram_jaccard_pairs(
         .to_pandas()
     )
     if len(out) == 0:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
+        out = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
             {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
         )
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    else:
+        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    _ngram_pairs_cache[memo_key] = out
+    return out.copy()
 
 
 def ngram_jaccard_pairs_exact(

@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_distinct_tokens": sketch_queries.source_distinct_tokens,
         "source_ntok_quantiles": sketch_queries.source_ntok_quantiles,
         "doc_sample_kmv": sketch_queries.doc_sample_kmv,
+        "doc_weighted_sample": sketch_queries.doc_weighted_sample,
         "source_shingle_overlap": sketch_queries.source_shingle_overlap,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
         "corpus_write_lineage": _corpus_write_lineage,

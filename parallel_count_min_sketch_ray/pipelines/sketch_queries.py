@@ -544,3 +544,44 @@ def doc_sample_kmv(sf_dir: str, k: int = 64) -> pd.DataFrame:
             "rel_error_bound": np.float64(sk.relative_error()),
         }
     )
+
+
+def doc_weighted_sample(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """Deterministic WEIGHTED sample of documents ∝ n_tok via the
+    mergeable A-ES reservoir (`state/ares.py`) — one streaming pass,
+    bit-exact across any partitioning (scores are pure functions of
+    (doc_id, weight)), a fixed ≤3k-word exchange per block, no shuffle.
+
+    The weighted complement of ``doc_sample_kmv``: token-budget
+    mixture construction samples documents by length/quality weight,
+    not uniformly.
+    """
+    from parallel_count_min_sketch_ray.state.ares import WeightedReservoir
+
+    proto = WeightedReservoir(k=k, seed=SEED)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = WeightedReservoir(k=k, seed=SEED)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = w > 0  # zero-token docs carry no sampling mass
+        sk.update(ids[keep], w[keep])
+        return pa.table({"blob": pa.array([sk.to_bytes()], pa.binary())})
+
+    blobs = (
+        tokenized_documents(sf_dir)
+        .select_columns(["doc_id", "n_tok"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    merged = proto.empty_like()
+    for row in blobs:
+        merged.merge(WeightedReservoir.from_bytes(row["blob"]))
+    keys, weights = merged.sample_table()
+    return pd.DataFrame(
+        {
+            "doc_id": keys.astype(np.int64),
+            "weight_n_tok": weights.astype(np.float64),
+            "rank": np.arange(1, keys.size + 1, dtype=np.int64),
+        }
+    )

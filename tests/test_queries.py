@@ -821,3 +821,27 @@ def test_source_shingle_overlap_vs_exact(ray_session, con):
         if union:
             assert abs(row["union_est"] - union) / union <= 5 / np.sqrt(k - 2)
     assert len(est) == len(per_source) * (len(per_source) - 1) // 2
+
+
+def test_doc_weighted_sample_distributed_equals_local(ray_session, con):
+    """A-ES weighted sample: the distributed build (per-block partials,
+    arbitrary merge order) is bit-identical to a local single pass over
+    the same (doc_id, n_tok) pairs."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        SEED,
+        doc_weighted_sample,
+    )
+    from parallel_count_min_sketch_ray.state.ares import WeightedReservoir
+
+    got = doc_weighted_sample(SF_UNIT)
+    local_rows = con.sql(
+        "SELECT doc_id, len(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS n_tok FROM documents"
+    ).df()
+    sk = WeightedReservoir(k=64, seed=SEED)
+    w = local_rows["n_tok"].to_numpy().astype(np.float64)
+    ids = local_rows["doc_id"].to_numpy().astype(np.int64)
+    sk.update(ids[w > 0], w[w > 0])
+    keys, weights = sk.sample_table()
+    assert np.array_equal(got["doc_id"].to_numpy(), keys)
+    assert np.array_equal(got["weight_n_tok"].to_numpy(), weights)

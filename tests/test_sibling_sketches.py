@@ -634,3 +634,78 @@ def test_dyadic_cms_merge_serde_and_guards():
         d.update(np.array([256]))  # out of domain
     with pytest.raises(ValueError):
         merged.range_query(10, 5)
+
+
+# --- weighted reservoir (A-ES) ------------------------------------------
+
+
+def test_ares_merge_bitexact_any_split():
+    from parallel_count_min_sketch_ray.state.ares import WeightedReservoir
+
+    rng = np.random.default_rng(5)
+    keys = rng.permutation(np.arange(500, dtype=np.int64))
+    weights = rng.uniform(0.1, 50.0, 500)
+    single = WeightedReservoir(k=32, seed=7)
+    single.update(keys, weights)
+    for splits in (2, 3, 7):
+        parts = []
+        for idx in np.array_split(np.arange(500), splits):
+            p = WeightedReservoir(k=32, seed=7)
+            p.update(keys[idx], weights[idx])
+            parts.append(p)
+        rng.shuffle(parts)
+        merged = WeightedReservoir(k=32, seed=7)
+        for p in parts:
+            merged.merge(p)
+        assert np.array_equal(merged.sample(), single.sample())
+        assert np.array_equal(
+            merged.sample_table()[1], single.sample_table()[1]
+        )
+        # serde roundtrip preserves the exact state
+        rt = WeightedReservoir.from_bytes(merged.to_bytes())
+        assert np.array_equal(rt.sample(), single.sample())
+
+
+def test_ares_duplicate_keys_keep_max_weight():
+    from parallel_count_min_sketch_ray.state.ares import WeightedReservoir
+
+    sk = WeightedReservoir(k=8, seed=1)
+    sk.update(np.array([1, 2, 3]), np.array([1.0, 1.0, 1.0]))
+    sk.update(np.array([2]), np.array([10.0]))
+    keys, weights = sk.sample_table()
+    assert dict(zip(keys.tolist(), weights.tolist()))[2] == 10.0
+
+
+def test_ares_inclusion_probability_tracks_weight():
+    """k=1 over items with weights 1:2:3:4 → selection frequency over
+    many seeds approaches w_i / Σw (A-ES first-order property)."""
+    from parallel_count_min_sketch_ray.state.ares import WeightedReservoir
+
+    keys = np.array([10, 20, 30, 40], dtype=np.int64)
+    weights = np.array([1.0, 2.0, 3.0, 4.0])
+    counts = {int(k): 0 for k in keys}
+    trials = 3000
+    for seed in range(trials):
+        sk = WeightedReservoir(k=1, seed=seed)
+        sk.update(keys, weights)
+        counts[int(sk.sample()[0])] += 1
+    total_w = weights.sum()
+    for k, w in zip(keys.tolist(), weights.tolist()):
+        p_expected = w / total_w
+        p_seen = counts[k] / trials
+        # binomial 4-sigma: sqrt(p(1-p)/n) ≤ 0.0091 at n=3000
+        assert abs(p_seen - p_expected) < 4.5 * np.sqrt(
+            p_expected * (1 - p_expected) / trials
+        ), (k, p_seen, p_expected)
+
+
+def test_ares_rejects_bad_weights():
+    import pytest as _pytest
+
+    from parallel_count_min_sketch_ray.state.ares import WeightedReservoir
+
+    sk = WeightedReservoir(k=4, seed=0)
+    with _pytest.raises(ValueError):
+        sk.update(np.array([1]), np.array([0.0]))
+    with _pytest.raises(ValueError):
+        sk.update(np.array([1, 2]), np.array([1.0]))

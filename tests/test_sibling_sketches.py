@@ -312,6 +312,12 @@ def test_describe_all_sketches():
     mh = MinHashSignature()
     mh.update(data.astype(np.uint64))
     assert "sig[0:8]" in mh.describe()
+    from parallel_count_min_sketch_ray.state.ares import WeightedReservoir
+
+    ares = WeightedReservoir(k=8, seed=1)
+    ares.update(data[:100] + 1, (data[:100] + 1).astype(np.float64))
+    out = ares.describe()
+    assert "WeightedReservoir" in out and "kept" in out
     cms = CountMinSketch(seed=1)
     cms.update(data)
     verbose = cms.describe(verbose=True)

@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ntok_quantiles": sketch_queries.source_ntok_quantiles,
         "doc_sample_kmv": sketch_queries.doc_sample_kmv,
         "doc_weighted_sample": sketch_queries.doc_weighted_sample,
+        "source_weighted_sample": sketch_queries.source_weighted_sample,
+        "events_outliers": analytics.events_outliers,
         "source_shingle_overlap": sketch_queries.source_shingle_overlap,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
         "corpus_write_lineage": _corpus_write_lineage,
@@ -369,6 +371,21 @@ def oracle_sql() -> dict[str, str]:
             "/ 100.0 AS running_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY event_id "
             "ROWS UNBOUNDED PRECEDING)"
+        ),
+        # 3-sigma anomaly counts: exact integer moments, identical
+        # double threshold expression on both sides
+        "events_outliers": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+            "m AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS sx, "
+            "SUM(cents * cents) AS sxx FROM c GROUP BY 1), "
+            "f AS (SELECT c.event_type, CASE WHEN "
+            "ABS(CAST(c.cents AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n) > "
+            "3.0 * SQRT(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)) / m.n "
+            "THEN 1 ELSE 0 END AS isout "
+            "FROM c JOIN m USING (event_type)) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(isout) AS BIGINT) AS n_outliers FROM f GROUP BY 1"
         ),
         # deterministic hash-ordered global sample (bottom-n by md5)
         "corpus_sample": (

@@ -2403,3 +2403,79 @@ def events_user_seq(sf_dir: str):
         )
 
     return with_cum.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_outliers(sf_dir: str, sigmas: float = 3.0):
+    """Anomaly counts per event type: events beyond ``sigmas``
+    population standard deviations from the type mean — the two-pass
+    distributed pattern (tiny exact-moment aggregate broadcast back
+    over a streaming flag scan).  Cents-integer moments; the per-type
+    n·Σx² product runs in Python ints on the 5-row driver table (it
+    can exceed int64 at scale), and mean/threshold become the identical
+    doubles the SQL oracle computes, so the flag comparisons match
+    exactly.
+    """
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(len(cents), np.int64)),
+                "sx": pa.array(cents),
+                "sxx": pa.array(cents * cents),
+            }
+        )
+        return _group_sum(t, ["event_type"])
+
+    m = (
+        read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+    )
+    stats = {}
+    for r in m.itertuples():
+        n, sx, sxx = int(r.n), int(r.sx), int(r.sxx)  # exact Python ints
+        mean = float(sx) / n
+        thr = sigmas * np.sqrt(float(n * sxx - sx * sx)) / n
+        stats[r.event_type] = (mean, thr)
+    stats_ref = ray.put(stats)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        et_np = et.to_numpy(zero_copy_only=False)
+        out = np.zeros(len(cents), np.int64)
+        for t, (mean, thr) in st.items():
+            sel = et_np == t
+            out[sel] = (
+                np.abs(cents[sel].astype(np.float64) - mean) > thr
+            ).astype(np.int64)
+        tt = pa.table(
+            {
+                "event_type": et,
+                "n_events": pa.array(np.ones(len(cents), np.int64)),
+                "n_outliers": pa.array(out),
+            }
+        )
+        return _group_sum(tt, ["event_type"])
+
+    return (
+        read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(flag, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_outliers", alias_name="n_outliers"),
+        )
+    )

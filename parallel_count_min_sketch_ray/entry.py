@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": sketch_queries.doc_weighted_sample,
         "source_weighted_sample": sketch_queries.source_weighted_sample,
         "events_outliers": analytics.events_outliers,
+        "events_value_quantiles": analytics.events_value_quantiles,
         "source_shingle_overlap": sketch_queries.source_shingle_overlap,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
         "corpus_write_lineage": _corpus_write_lineage,
@@ -371,6 +372,18 @@ def oracle_sql() -> dict[str, str]:
             "/ 100.0 AS running_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY event_id "
             "ROWS UNBOUNDED PRECEDING)"
+        ),
+        # exact discrete quantile vector via the cents-histogram fold
+        "events_value_quantiles": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+            "qt AS (SELECT event_type, "
+            "quantile_disc(cents, [0.25, 0.5, 0.75, 0.95, 0.99]) AS vs "
+            "FROM c GROUP BY 1) "
+            "SELECT event_type, qs.q, "
+            "CAST(vs[qs.i] AS DOUBLE) / 100.0 AS value_exact "
+            "FROM qt CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) "
+            "AS q, unnest([1, 2, 3, 4, 5]) AS i) qs"
         ),
         # 3-sigma anomaly counts: exact integer moments, identical
         # double threshold expression on both sides

@@ -2479,3 +2479,47 @@ def events_outliers(sf_dir: str, sigmas: float = 3.0):
             Sum("n_outliers", alias_name="n_outliers"),
         )
     )
+
+
+def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95, 0.99)):
+    """EXACT per-type discrete quantiles (p25..p99) without a global
+    sort — the ``events_value_median`` histogram fold generalized to a
+    quantile vector, and the exact counterpart the grouped t-digest
+    (``type_value_quantiles``) is validated against.  Rank convention
+    matches SQL ``quantile_disc``: the value at rank ceil(q·n).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cents": pa.array(cents),
+                "cnt": pa.array(np.ones(len(cents), dtype=np.int64)),
+            }
+        )
+        return _group_sum(t, ["event_type", "cents"])
+
+    def quantiles_of_partials(g: pd.DataFrame) -> pd.DataFrame:
+        cents = g["cents"].to_numpy()
+        c = g["cnt"].to_numpy()
+        order = np.argsort(cents, kind="stable")
+        cents, c = cents[order], c[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(cents)) + 1]
+        u = cents[starts]
+        sums = np.add.reduceat(c, starts)
+        n = int(sums.sum())
+        cum = np.cumsum(sums)
+        rows = []
+        for q in qs:
+            rank = int(np.ceil(q * n))  # SQL quantile_disc convention
+            v = u[np.searchsorted(cum, max(rank, 1))]
+            rows.append((g["event_type"].iloc[0], float(q), float(v) / 100.0))
+        return pd.DataFrame(rows, columns=["event_type", "q", "value_exact"])
+
+    return (
+        read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(quantiles_of_partials, batch_format="pandas")
+    )

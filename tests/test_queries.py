@@ -63,6 +63,7 @@ def _to_pandas(res):
         "decontaminate_ngram",
         "curate_corpus",
         "events_value_median",
+        "events_value_quantiles",
         "events_value_hour_corr",
         "pack_contexts",
         "customer_running_spend",

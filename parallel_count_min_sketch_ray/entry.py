@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_weighted_sample": sketch_queries.source_weighted_sample,
         "events_outliers": analytics.events_outliers,
         "events_value_quantiles": analytics.events_value_quantiles,
+        "source_oov_rate": analytics.source_oov_rate,
         "source_shingle_overlap": sketch_queries.source_shingle_overlap,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
         "corpus_write_lineage": _corpus_write_lineage,
@@ -372,6 +373,22 @@ def oracle_sql() -> dict[str, str]:
             "/ 100.0 AS running_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY event_id "
             "ROWS UNBOUNDED PRECEDING)"
+        ),
+        # per-source OOV rate vs the global top-10 vocabulary
+        "source_oov_rate": (
+            "WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents), "
+            "u AS (SELECT token, COUNT(*) AS cnt FROM w WHERE token <> '' "
+            "GROUP BY 1), "
+            "v AS (SELECT token FROM (SELECT token, ROW_NUMBER() OVER ("
+            "ORDER BY cnt DESC, token) AS r FROM u) t WHERE r <= 10) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_oov, "
+            "CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ COUNT(*) AS oov_rate "
+            "FROM w LEFT JOIN v USING (token) WHERE w.token <> '' "
+            "GROUP BY source"
         ),
         # exact discrete quantile vector via the cents-histogram fold
         "events_value_quantiles": (

@@ -2523,3 +2523,64 @@ def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95, 0.99)):
         .groupby("event_type")
         .map_groups(quantiles_of_partials, batch_format="pandas")
     )
+
+
+def source_oov_rate(sf_dir: str, vocab_k: int = 10):
+    """Per-source out-of-vocabulary rate against the global top-k token
+    vocabulary (cnt DESC, token ASC ties; k=10 here so the tiny
+    synthetic vocabulary actually has an OOV tail — production uses
+    32k+) — the tokenizer-health check
+    a training pipeline runs per domain before mixing.
+
+    The vocabulary comes off the memoized ``token_counts`` table
+    (driver holds k words — the broadcast tier); OOV counting is one
+    streaming scan with per-block (source, n_tok, n_oov) partials.
+    Rates are single divisions of exact ints, bit-comparable with SQL.
+    """
+    from ray.data.aggregate import Sum
+
+    uni = token_counts(sf_dir).to_pandas()
+    uni = uni.sort_values(
+        ["cnt", "token"], ascending=[False, True]
+    ).head(vocab_k)
+    vocab = np.sort(uni["token"].to_numpy())
+    vocab_ref = ray.put(vocab)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        lists = textops.split_words(batch["text"])
+        rep = pc.list_parent_indices(lists)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        srcs = src.take(rep)
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(voc, flat)
+        pos[pos == len(voc)] = 0
+        oov = (voc[pos] != flat).astype(np.int64)
+        t = pa.table(
+            {
+                "source": srcs,
+                "n_tokens": pa.array(np.ones(len(flat), np.int64)),
+                "n_oov": pa.array(oov),
+            }
+        )
+        return _group_sum(t, ["source"])
+
+    out = (
+        read(sf_dir, "documents", ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_oov", alias_name="n_oov"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        no = batch["n_oov"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = no.astype(np.float64) / nt
+        return batch.append_column("oov_rate", pa.array(rate, pa.float64()))
+
+    return out.map_batches(finalize, batch_format="pyarrow")

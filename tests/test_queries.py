@@ -76,6 +76,7 @@ def _to_pandas(res):
         "events_type_pivot",
         "source_token_set_ops",
         "source_chars_stats",
+        "source_oov_rate",
         "corpus_sample",
         "bigram_counts",
         "doc_token_stats",

@@ -116,3 +116,25 @@ def test_scan_int_partitions_and_composite_order(ray_session):
         exp[["part", "o1", "o2", "val", "cum"]],
         check_dtype=False,
     )
+
+
+def test_scan_empty_and_single_row(ray_session):
+    import ray.data
+
+    empty = pd.DataFrame(
+        {"part": pd.Series([], dtype=str),
+         "order": pd.Series([], dtype=np.int64),
+         "val": pd.Series([], dtype=np.int64)}
+    )
+    out = keyed_prefix_sum(
+        ray.data.from_pandas(empty), "part", "order", "val", "cum"
+    ).to_pandas()
+    # Ray drops the schema of an all-empty dataset; the contract is
+    # simply "no rows, no error"
+    assert len(out) == 0
+
+    one = pd.DataFrame({"part": ["x"], "order": [0], "val": [7]})
+    out1 = keyed_prefix_sum(
+        ray.data.from_pandas(one), "part", "order", "val", "cum"
+    ).to_pandas()
+    assert out1["cum"].tolist() == [7]

@@ -17,6 +17,7 @@ from parallel_count_min_sketch_ray.pipelines import (
     analytics,
     ann,
     dedup,
+    ml,
     sketch_queries,
     textpipe,
 )
@@ -167,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": ann.embedding_clusters,
         "lang_quality": textpipe.lang_quality,  # SQL-checked
         "quality_model_scores": textpipe.quality_model_scores,  # actor-pool inference
+        "train_event_model": ml.train_event_model,  # iterative GD loop (rows-only)
         "media_decode_stats": _media_decode_stats,
         "media_near_dup": _media_near_dup,
         "doc_fingerprints": textpipe.doc_fingerprints,

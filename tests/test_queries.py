@@ -873,3 +873,17 @@ def test_source_weighted_sample_distributed_equals_local(ray_session, con):
         sub = got[got["source"] == source]
         assert np.array_equal(sub["doc_id"].to_numpy(), keys), source
         assert np.array_equal(sub["weight_n_tok"].to_numpy(), weights), source
+
+
+def test_train_event_model_deterministic_and_converges(ray_session):
+    """Distributed GD loop: loss strictly decreases from ln(2), and
+    rerunning the whole pipeline reproduces the weights bit-for-bit
+    (the sorted-partial summation fixes float association even though
+    Ray returns blocks in nondeterministic order)."""
+    from parallel_count_min_sketch_ray.pipelines.ml import train_event_model
+
+    t1 = train_event_model(SF_UNIT, iters=8)
+    assert t1["mean_loss"].iloc[0] == pytest.approx(np.log(2.0), abs=1e-12)
+    assert (np.diff(t1["mean_loss"].to_numpy()) < 0).all()
+    t2 = train_event_model(SF_UNIT, iters=8)
+    pd.testing.assert_frame_equal(t1, t2, check_exact=True)

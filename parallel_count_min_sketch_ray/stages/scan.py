@@ -169,6 +169,21 @@ def keyed_prefix_sum(
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(out_cols) != len(value_cols):
         raise ValueError("out_col count must match value_col count")
+    schema = ds.schema()
+    if schema is not None:
+        types = dict(zip(schema.names, schema.types))
+        for vc in value_cols:
+            t = types.get(vc)
+            if isinstance(t, pa.DataType):
+                ok = pa.types.is_integer(t) or pa.types.is_boolean(t)
+            else:  # pandas-block schema: numpy dtype
+                ok = t is None or np.dtype(t).kind in "iub"
+            if not ok:
+                raise ValueError(
+                    f"value column {vc!r} must be integer (got {t}): float "
+                    "prefix sums are association-dependent — convert to "
+                    "integer cents first"
+                )
     sorted_ds = ds.sort([part_col, *order_cols]).materialize()
 
     edges = sorted_ds.map_batches(

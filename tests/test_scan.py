@@ -138,3 +138,17 @@ def test_scan_empty_and_single_row(ray_session):
         ray.data.from_pandas(one), "part", "order", "val", "cum"
     ).to_pandas()
     assert out1["cum"].tolist() == [7]
+
+
+def test_scan_rejects_float_values(ray_session):
+    """Float prefix sums are association-dependent; the scan refuses
+    them instead of silently truncating (callers convert to cents)."""
+    import ray.data
+
+    df = pd.DataFrame(
+        {"part": ["a", "a"], "order": [0, 1], "val": [1.5, 2.5]}
+    )
+    with pytest.raises(ValueError, match="integer"):
+        keyed_prefix_sum(
+            ray.data.from_pandas(df), "part", "order", "val", "cum"
+        )

@@ -92,6 +92,28 @@ def _to_pandas(res):
         "customers_without_orders",
         "shipping_priority",
         "orders_by_segment",
+        "brand_nation_revenue",
+        "clean_corpus",
+        "dedup_exact",
+        "distinct_users",
+        "embedding_near_dup",
+        "events_asof_join",
+        "events_lag",
+        "events_props_stats",
+        "events_range_join",
+        "events_sessions",
+        "events_sliding",
+        "events_value_stats",
+        "heavy_hitters",
+        "lang_quality",
+        "lang_source_counts",
+        "neardup_components",
+        "ngram_jaccard_pairs",
+        "order_lineitem_join",
+        "orders_by_region",
+        "source_token_totals",
+        "token_count_regex",
+        "top_users_by_value",
         "embedding_norms",
         "ann_topk",
     ],

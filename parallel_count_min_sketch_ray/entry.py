@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_value_quantiles": sketch_queries.tdigest_value_quantiles,
         "type_value_quantiles": sketch_queries.type_value_quantiles,
         "daily_distinct_users": sketch_queries.daily_distinct_users,
+        "weekly_distinct_users": sketch_queries.weekly_distinct_users,
         "ntok_range_mass": sketch_queries.ntok_range_mass,
         "bloom_doc_membership": sketch_queries.bloom_doc_membership,
         "cms_inner_product_sources": sketch_queries.cms_inner_product_sources,

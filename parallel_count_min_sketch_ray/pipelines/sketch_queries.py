@@ -256,10 +256,37 @@ def daily_distinct_users(sf_dir: str) -> pd.DataFrame:
     (HLL p=12 ≈ 4 KB × ~hundreds of days); an hour-grained variant at
     scale would drop to p=10 or the ``via="shuffle"`` spelling.
     """
+    grouped = _daily_user_hlls(sf_dir)
+    rows = sorted(
+        (day, float(d["hll"].estimate())) for day, d in grouped.items()
+    )
+    return pd.DataFrame(
+        {
+            "day": [r[0] for r in rows],
+            "distinct_users_estimate": [r[1] for r in rows],
+        }
+    )
+
+
+_daily_hll_cache: dict[tuple, dict] = {}
+
+
+def _daily_user_hlls(sf_dir: str) -> dict:
+    """Per-day user HLLs through the keyed merge tree (shared by the
+    daily and the sliding-window queries; memoized per (sf_dir, job) —
+    the point of the composition is ONE build, many window queries)."""
+    import ray as _ray
+
     from parallel_count_min_sketch_ray.pipelines.sketch_build import (
         build_sketches_by_key,
     )
     from parallel_count_min_sketch_ray.state.hll import HyperLogLog
+
+    job = _ray.get_runtime_context().get_job_id() if _ray.is_initialized() else None
+    key = (sf_dir, job)
+    cached = _daily_hll_cache.get(key)
+    if cached is not None:
+        return cached
 
     def with_day(batch: pa.Table) -> pa.Table:
         day = pa.compute.strftime(batch["ts"], format="%Y-%m-%d")
@@ -272,14 +299,29 @@ def daily_distinct_users(sf_dir: str) -> pd.DataFrame:
         ds, "day", [SketchSpec("hll", HyperLogLog(p=12, seed=SEED), "user_id",
                                kind="numeric")]
     )
-    rows = sorted(
-        (day, float(d["hll"].estimate())) for day, d in grouped.items()
-    )
+    _daily_hll_cache[key] = grouped
+    return grouped
+
+
+def weekly_distinct_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """SLIDING-window distinct users from the same per-day HLL state —
+    sketch algebra instead of a second scan: a 7-day window's distinct
+    count is the MERGE of its seven daily sketches (HLL union is
+    lossless), so any window size replays off one build.  This is the
+    composability argument for mergeable sketches at 100 TB: O(days)
+    tiny states answer O(days × window-sizes) window queries with zero
+    extra passes over the events."""
+    grouped = _daily_user_hlls(sf_dir)
+    days = sorted(grouped)
+    rows = []
+    for i in range(window_days - 1, len(days)):
+        window = days[i - window_days + 1 : i + 1]
+        acc = grouped[window[0]]["hll"].empty_like()
+        for d in window:
+            acc.merge(grouped[d]["hll"])
+        rows.append((window[0], days[i], float(acc.estimate())))
     return pd.DataFrame(
-        {
-            "day": [r[0] for r in rows],
-            "distinct_users_estimate": [r[1] for r in rows],
-        }
+        rows, columns=["window_start", "window_end", "distinct_users_estimate"]
     )
 
 

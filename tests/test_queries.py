@@ -909,3 +909,26 @@ def test_train_event_model_deterministic_and_converges(ray_session):
     assert (np.diff(t1["mean_loss"].to_numpy()) < 0).all()
     t2 = train_event_model(SF_UNIT, iters=8)
     pd.testing.assert_frame_equal(t1, t2, check_exact=True)
+
+
+def test_weekly_distinct_users_window_merge(ray_session, con):
+    """Sliding-window sketch algebra: merged 7-day HLLs track the exact
+    7-day distinct counts within the HLL error envelope, and reuse the
+    same per-day state as the daily query (one build, many windows)."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        weekly_distinct_users,
+    )
+
+    df = weekly_distinct_users(SF_UNIT)
+    assert len(df) >= 1
+    ex = con.sql(
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events"
+    ).df()
+    for row in df.itertuples():
+        mask = (ex["day"] >= row.window_start) & (ex["day"] <= row.window_end)
+        true = ex.loc[mask, "user_id"].nunique()
+        assert abs(row.distinct_users_estimate - true) <= max(0.07 * true, 3), (
+            row.window_start,
+            row.distinct_users_estimate,
+            true,
+        )

@@ -70,3 +70,56 @@ def test_retry_does_not_double_count(ray_session, tokens_fixture, tmp_path):
     assert sk == serial  # bit-identical despite the injected crash
     assert n_rows == tokens_fixture["num_rows"]
     assert n_items == tokens_fixture["total_tokens"]
+
+
+def test_scan_pass2_retry_is_pure(ray_session, tmp_path):
+    """keyed_prefix_sum pass 2 is a pure function of (materialized
+    block, broadcast offsets): a worker that dies once mid-pass is
+    retried by Ray and the running sums come out identical to the
+    no-failure run."""
+    import pandas as pd
+
+    import ray.data
+
+    from parallel_count_min_sketch_ray.stages.scan import keyed_prefix_sum
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "part": [f"p{int(x)}" for x in rng.integers(0, 9, n)],
+            "order": np.arange(n, dtype=np.int64),
+            "val": rng.integers(-20, 40, n).astype(np.int64),
+        }
+    )
+    clean = (
+        keyed_prefix_sum(
+            ray.data.from_pandas(df).repartition(12), "part", "order", "val"
+        )
+        .to_pandas()
+        .sort_values(["part", "order"])
+        .reset_index(drop=True)
+    )
+
+    marker = str(tmp_path / "scan-crashed-once")
+
+    def crash_once(batch: pa.Table) -> pa.Table:
+        if not os.path.exists(marker):
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                os._exit(1)
+            except FileExistsError:
+                pass
+        return batch
+
+    faulty = (
+        keyed_prefix_sum(
+            ray.data.from_pandas(df).repartition(12), "part", "order", "val"
+        )
+        .map_batches(crash_once, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["part", "order"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(clean, faulty)

@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": analytics.events_outliers,
         "events_value_quantiles": analytics.events_value_quantiles,
         "source_oov_rate": analytics.source_oov_rate,
+        "source_token_joinsize": analytics.source_token_joinsize,
         "source_shingle_overlap": sketch_queries.source_shingle_overlap,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
         "corpus_write_lineage": _corpus_write_lineage,
@@ -376,6 +377,19 @@ def oracle_sql() -> dict[str, str]:
             "/ 100.0 AS running_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY event_id "
             "ROWS UNBOUNDED PRECEDING)"
+        ),
+        # exact equi-join size between two sources' token streams —
+        # the quantity the CMS inner product estimates
+        "source_token_joinsize": (
+            "WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents WHERE source IN ('src0', 'src1')), "
+            "a AS (SELECT token, COUNT(*) AS cnt FROM w "
+            "WHERE source = 'src0' AND token <> '' GROUP BY 1), "
+            "b AS (SELECT token, COUNT(*) AS cnt FROM w "
+            "WHERE source = 'src1' AND token <> '' GROUP BY 1) "
+            "SELECT 'src0' AS source_a, 'src1' AS source_b, "
+            "CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS join_size "
+            "FROM a JOIN b USING (token)"
         ),
         # per-source OOV rate vs the global top-10 vocabulary
         "source_oov_rate": (

@@ -2584,3 +2584,59 @@ def source_oov_rate(sf_dir: str, vocab_k: int = 10):
         return batch.append_column("oov_rate", pa.array(rate, pa.float64()))
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def source_token_joinsize(sf_dir: str, src_a: str = "src0", src_b: str = "src1"):
+    """EXACT equi-join size between two sources' token streams:
+    Σ_x f_a(x)·f_b(x) — the quantity the CMS inner product
+    (``cms_inner_product_sources``) estimates, closing the
+    estimate↔exact pairing for the last sketch operator.
+
+    Per-block (token, cnt_a, cnt_b) partials → one token groupby →
+    per-block Σ products → scalar Sum.  The scan is pruned to the two
+    sources at the parquet layer.
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        lists = textops.split_words(batch["text"])
+        rep = pc.list_parent_indices(lists)
+        srcs = src.take(rep).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "token": lists.flatten(),
+                "cnt_a": pa.array((srcs == src_a).astype(np.int64)),
+                "cnt_b": pa.array((srcs == src_b).astype(np.int64)),
+            }
+        )
+        return _group_sum(t, ["token"])
+
+    per_token = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["source", "text"],
+            filter=pc.field("source").isin([src_a, src_b]),
+        )
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt_a", alias_name="cnt_a"), Sum("cnt_b", alias_name="cnt_b"))
+    )
+
+    def products(batch: pa.Table) -> pa.Table:
+        a = batch["cnt_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["cnt_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"join_size": pa.array([int((a * b).sum())], pa.int64())})
+
+    agg = per_token.map_batches(products, batch_format="pyarrow").aggregate(
+        Sum("join_size", alias_name="join_size")
+    )
+    return pd.DataFrame(
+        {
+            "source_a": [src_a],
+            "source_b": [src_b],
+            "join_size": [np.int64(agg["join_size"])],
+        }
+    )

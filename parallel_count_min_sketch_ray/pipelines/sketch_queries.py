@@ -348,11 +348,11 @@ def cms_inner_product_sources(sf_dir: str) -> pd.DataFrame:
     proto = CountMinSketch(eps=0.001, delta=0.1, seed=SEED)
     import pyarrow.compute as pc
 
-    def part_of(src_prefix: str):
+    def part_of(src: str):
+        # exact source match ("src1" must NOT also sweep in src10-19);
+        # the exact Σ f_a·f_b this estimates is source_token_joinsize
         sub = ds.map_batches(
-            lambda t, p=src_prefix: t.filter(
-                pc.equal(pc.utf8_slice_codeunits(t["source"], 0, len(p)), p)
-            ),
+            lambda t, p=src: t.filter(pc.equal(t["source"], p)),
             batch_format="pyarrow",
         )
         from parallel_count_min_sketch_ray.pipelines.sketch_build import build_sketch

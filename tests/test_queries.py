@@ -77,6 +77,7 @@ def _to_pandas(res):
         "source_token_set_ops",
         "source_chars_stats",
         "source_oov_rate",
+        "source_token_joinsize",
         "corpus_sample",
         "bigram_counts",
         "doc_token_stats",
@@ -932,3 +933,25 @@ def test_weekly_distinct_users_window_merge(ray_session, con):
             row.distinct_users_estimate,
             true,
         )
+
+
+def test_cms_inner_product_vs_exact_joinsize(ray_session, con):
+    """The CMS inner-product estimate brackets the exact Σ f_a·f_b:
+    one-sided (estimate ≥ exact) and within the published
+    ε·N_a·N_b bound — the estimate↔exact pairing for the reference's
+    join-size operator (src/core/count_min_sketch.c:65-83)."""
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        source_token_joinsize,
+    )
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        cms_inner_product_sources,
+    )
+
+    exact = int(source_token_joinsize(SF_UNIT)["join_size"].iloc[0])
+    est_row = cms_inner_product_sources(SF_UNIT).iloc[0]
+    est = float(est_row["inner_product_estimate"])
+    assert est >= exact
+    eps = 0.001  # the build's configured epsilon
+    assert est <= exact + eps * float(est_row["total_a"]) * float(
+        est_row["total_b"]
+    )

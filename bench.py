@@ -36,6 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+# never purge mimalloc pages back to the OS: a degraded-epoch probe
+# measured raw first-touch faults at ~20 MB/s host-wide, and purged
+# pages re-pay that on the next rep (median 31.5 s -> 8.1 s with
+# purging off, same epoch, same code)
+os.environ.setdefault("MIMALLOC_PURGE_DELAY", "-1")
+os.environ.setdefault("MIMALLOC_RESET_DELAY", "-1")  # mimalloc v1 name
 
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "1000000"))
 BENCH_SEED = 42
@@ -184,6 +190,11 @@ def main() -> None:
                 RAY_GRAFT_CPUS=str(n),
                 GRAFT_BENCH_HEADLINE_ONLY="1",
                 GRAFT_BENCH_ROWS=scaling_rows,
+                # the 1.9B-token corpus needs more plasma headroom than
+                # the compact default
+                GRAFT_BENCH_OBJ_STORE=os.environ.get(
+                    "GRAFT_BENCH_OBJ_STORE", str(12 << 30)
+                ),
                 GRAFT_BENCH_WARMUPS=os.environ.get("GRAFT_BENCH_WARMUPS", "4"),
                 GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "5"),
             )
@@ -225,6 +236,13 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # compact object store: the bench working set is <2 GB and a
+        # small plasma arena re-touches the same pages run after run
+        # instead of walking fresh ones (first-touch faults are the
+        # degraded-epoch bottleneck, see the allocator note above)
+        object_store_memory=int(
+            os.environ.get("GRAFT_BENCH_OBJ_STORE", str(4 << 30))
+        ),
     )
     try:
         from ray.data import DataContext

@@ -97,7 +97,7 @@ def _grad_stage(w_ref):
 
 
 def train_event_model(
-    sf_dir: str, iters: int = 15, lr: float = 2.0
+    sf_dir: str, iters: int = 8, lr: float = 2.0
 ) -> pd.DataFrame:
     """Fit purchase-vs-rest logistic regression; returns one row per
     iteration (loss trace) plus the final weights — deterministic

@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_distinct_users": sketch_queries.weekly_distinct_users,
         "ntok_range_mass": sketch_queries.ntok_range_mass,
         "bloom_doc_membership": sketch_queries.bloom_doc_membership,
+        "bloom_semijoin_count": sketch_queries.bloom_semijoin_count,
         "cms_inner_product_sources": sketch_queries.cms_inner_product_sources,
         "topk_words": sketch_queries.topk_words,
         "cms_accuracy_report": sketch_queries.cms_accuracy_report,

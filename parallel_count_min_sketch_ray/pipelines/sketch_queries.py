@@ -692,3 +692,76 @@ def source_weighted_sample(sf_dir: str, k: int = 16) -> pd.DataFrame:
     return pd.DataFrame(
         out, columns=["source", "doc_id", "weight_n_tok", "rank"]
     ).astype({"doc_id": np.int64, "rank": np.int64})
+
+
+def bloom_semijoin_count(sf_dir: str, fp_rate: float = 0.01) -> pd.DataFrame:
+    """Bloom-pushdown semi-join: count lineitems whose order is
+    URGENT-priority, filtering the big side with a Bloom filter of the
+    urgent order keys instead of shuffling it — the classic sketch
+    application (runtime filters / sideways information passing).
+
+    The Bloom builds distributed over the (scan-pruned) urgent orders
+    through the standard merge tree, broadcasts once (~KBs), and the
+    fact-side scan counts probe hits per block.  No false negatives:
+    bloom_count ≥ exact; overshoot ≤ fp_rate of the non-matching rows
+    (asserted in pytest against the exact semi-join count computed in
+    the same pass from a broadcast key set at this test scale).
+    """
+    import pyarrow.compute as _pc
+    import ray as _ray
+    import ray.data as _rd
+
+    from ray.data.aggregate import Sum
+
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import build_sketch
+    from parallel_count_min_sketch_ray.state.bloom import BloomFilter
+
+    urgent = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey"],
+        filter=_pc.field("o_orderpriority") == "1-URGENT",
+    )
+    n_urgent = urgent.count()
+    proto = BloomFilter(capacity=max(n_urgent, 1024), fp_rate=fp_rate, seed=SEED)
+    bloom, _ = build_sketch(urgent, proto, "o_orderkey", kind="numeric")
+    bloom_ref = _ray.put(bloom.to_bytes())
+    # exact key set for the same count (small at test scale; at corpus
+    # scale the exact number comes from the hash semi-join instead)
+    keys = np.sort(
+        np.array([r["o_orderkey"] for r in urgent.take_all()], dtype=np.int64)
+    )
+    keys_ref = _ray.put(keys)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter.from_bytes(_ray.get(bloom_ref))
+        kk = _ray.get(keys_ref)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        hits = bf.contains(ok)
+        pos = np.searchsorted(kk, ok)
+        pos[pos == len(kk)] = 0
+        exact = kk[pos] == ok
+        return pa.table(
+            {
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "bloom_hits": pa.array([int(hits.sum())], pa.int64()),
+                "exact_hits": pa.array([int(exact.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        read(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(probe, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("bloom_hits", alias_name="bloom_hits"),
+            Sum("exact_hits", alias_name="exact_hits"),
+        )
+    )
+    return pd.DataFrame(
+        {
+            "n_lineitems": [np.int64(agg["n_rows"])],
+            "bloom_semijoin_count": [np.int64(agg["bloom_hits"])],
+            "exact_semijoin_count": [np.int64(agg["exact_hits"])],
+            "configured_fp_rate": [np.float64(fp_rate)],
+        }
+    )

@@ -955,3 +955,25 @@ def test_cms_inner_product_vs_exact_joinsize(ray_session, con):
     assert est <= exact + eps * float(est_row["total_a"]) * float(
         est_row["total_b"]
     )
+
+
+def test_bloom_semijoin_bounds(ray_session, con):
+    """Bloom pushdown never loses a match (no false negatives) and
+    overshoots by at most ~fp_rate of the non-matching rows; the exact
+    count matches the SQL semi-join."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        bloom_semijoin_count,
+    )
+
+    row = bloom_semijoin_count(SF_UNIT).iloc[0]
+    exact_sql = con.sql(
+        "SELECT COUNT(*) FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')"
+    ).fetchone()[0]
+    assert int(row["exact_semijoin_count"]) == exact_sql
+    assert int(row["bloom_semijoin_count"]) >= exact_sql
+    non_matching = int(row["n_lineitems"]) - exact_sql
+    # 5x headroom on the configured rate absorbs small-sample variance
+    assert int(row["bloom_semijoin_count"]) - exact_sql <= max(
+        5 * row["configured_fp_rate"] * non_matching, 5
+    )

@@ -720,7 +720,7 @@ def bloom_semijoin_count(sf_dir: str, fp_rate: float = 0.01) -> pd.DataFrame:
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey"],
         filter=_pc.field("o_orderpriority") == "1-URGENT",
-    )
+    ).materialize()  # count + Bloom build + exact keys off one execution
     n_urgent = urgent.count()
     proto = BloomFilter(capacity=max(n_urgent, 1024), fp_rate=fp_rate, seed=SEED)
     bloom, _ = build_sketch(urgent, proto, "o_orderkey", kind="numeric")

@@ -258,16 +258,47 @@ def main() -> None:
             if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
             else run_queries(sf_dir)
         )
+        full = {
+            "metric": "cms_build_wall_sec",
+            "value": headline["wall_sec"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "headline": headline,
+        }
+        # full record (96-query map makes this line >4 KB): printed
+        # first AND written to BENCH/ for the repo's own records
+        print(json.dumps(full))
+        qfile = None
+        if queries:  # don't clobber the record from headline-only runs
+            try:
+                qfile = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH", "bench_last_full.json",
+                )
+                with open(qfile, "w") as f:
+                    json.dump(full, f, indent=1)
+            except OSError:
+                qfile = None
+        # COMPACT headline as the FINAL stdout line: the driver stores
+        # only the tail of stdout and parses the last line (round 3's
+        # full line overflowed that window → "parsed": null, VERDICT r3
+        # "What's wrong" #1).  Keep this line well under 2000 chars.
+        ok = [v for v in queries.values() if v >= 0]
         print(
             json.dumps(
                 {
                     "metric": "cms_build_wall_sec",
                     "value": headline["wall_sec"],
                     "unit": "sec",
-                    "queries": queries,
                     "sf": sf_dir,
                     "num_cpus": num_cpus,
                     "headline": headline,
+                    "queries_n": len(queries),
+                    "queries_failed": len(queries) - len(ok),
+                    "queries_total_sec": round(sum(ok), 3),
+                    "queries_file": qfile,
                 }
             )
         )

@@ -72,50 +72,46 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Driver-checked queries.
+
+    ORDER MATTERS: the driver's correctness harness checks the FIRST
+    ~50 entries (CORRECTNESS_r03 == the head of this dict), so
+    oracle-SQL queries that have never had a driver row come first
+    (VERDICT r3 "Next round" #2), then the rest of the SQL-checked
+    set; queries with two green driver rows already (r2+r3) sit past
+    the cap, and rows-only sketch/estimate queries close the list.
+    """
     return {
-        # --- exact token / document analytics (SQL-checked) ---
-        "token_counts": analytics.token_counts,
-        "token_totals": analytics.token_totals,
+        # --- SQL-checked, no driver CORRECTNESS row yet (r3 gap #1) ---
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "neardup_components": dedup.neardup_components,
+        "lang_quality": textpipe.lang_quality,
+        "ann_topk": ann.ann_topk,
+        "embedding_norms": ann.embedding_norms,
+        "embedding_near_dup": ann.embedding_near_dup,
+        "corpus_sample": analytics.corpus_sample,
+        "events_outliers": analytics.events_outliers,
+        "events_value_quantiles": analytics.events_value_quantiles,
+        "events_user_seq": analytics.events_user_seq,
+        "source_oov_rate": analytics.source_oov_rate,
+        "source_token_joinsize": analytics.source_token_joinsize,
+        # --- SQL-checked, one driver green row (r3) ---
         "token_f2": analytics.token_f2,
-        "heavy_hitters": analytics.heavy_hitters,
         "top_terms_per_source": analytics.top_terms_per_source,
         "bigram_counts": analytics.bigram_counts,
-        "doc_token_stats": analytics.doc_token_stats,
-        "lang_source_counts": analytics.lang_source_counts,
-        "dedup_exact": analytics.dedup_exact,
         "doc_top_tfidf": analytics.doc_top_tfidf,
         "doc_split_stats": analytics.doc_split_stats,
         "per_source_cap": analytics.per_source_cap,
         "source_mixture_sample": analytics.source_mixture_sample,
         "repetition_stats": textpipe.repetition_stats,
-        "token_count_regex": textpipe.token_count_regex,
         "decontaminate_ngram": textpipe.decontaminate_ngram,
-        "source_token_totals": analytics.source_token_totals,
-        "clean_corpus": textpipe.clean_corpus,
         "curate_corpus": textpipe.curate_corpus,
-        # --- events: windows / sessions / topk (SQL-checked) ---
-        "events_hourly": analytics.events_hourly,
         "events_value_hour_corr": analytics.events_value_hour_corr,
         "events_rollup": analytics.events_rollup,
-        "events_sessions": analytics.events_sessions,
-        "events_lag": analytics.events_lag,
         "events_cume_dist": analytics.events_cume_dist,
         "signup_conversion": analytics.signup_conversion,
-        "events_sliding": analytics.events_sliding,
-        "events_asof_join": analytics.events_asof_join,
-        "events_range_join": analytics.events_range_join,
-        "events_props_stats": analytics.events_props_stats,
-        "distinct_users": analytics.distinct_users,
-        "top_users_by_value": analytics.top_users_by_value,
-        # --- relational (SQL-checked) ---
-        "pricing_summary": analytics.pricing_summary,
-        "orders_by_segment": analytics.orders_by_segment,
-        "orders_by_region": analytics.orders_by_region,
-        "order_lineitem_join": analytics.order_lineitem_join,
         "customers_without_orders": analytics.customers_without_orders,
         "shipping_priority": analytics.shipping_priority,
-        "brand_nation_revenue": analytics.brand_nation_revenue,
-        "events_value_stats": analytics.events_value_stats,
         "events_value_median": analytics.events_value_median,
         "pack_contexts": analytics.pack_contexts,
         "daily_retention": analytics.daily_retention,
@@ -126,12 +122,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": analytics.events_type_pivot,
         "source_token_set_ops": analytics.source_token_set_ops,
         "source_chars_stats": analytics.source_chars_stats,
-        "corpus_sample": analytics.corpus_sample,
-        "events_user_seq": analytics.events_user_seq,
-        # --- embeddings (SQL-checked) ---
-        "embedding_norms": ann.embedding_norms,
-        "ann_topk": ann.ann_topk,
-        "embedding_near_dup": ann.embedding_near_dup,
+        # --- SQL-checked, two driver green rows (r2+r3) ---
+        "doc_token_stats": analytics.doc_token_stats,
+        "lang_source_counts": analytics.lang_source_counts,
+        "dedup_exact": analytics.dedup_exact,
+        "token_count_regex": textpipe.token_count_regex,
+        "source_token_totals": analytics.source_token_totals,
+        "clean_corpus": textpipe.clean_corpus,
+        "events_sessions": analytics.events_sessions,
+        "events_sliding": analytics.events_sliding,
+        "events_asof_join": analytics.events_asof_join,
+        "events_range_join": analytics.events_range_join,
+        "events_props_stats": analytics.events_props_stats,
+        "top_users_by_value": analytics.top_users_by_value,
+        "orders_by_segment": analytics.orders_by_segment,
+        "orders_by_region": analytics.orders_by_region,
+        # ^ cap boundary (50): everything below has the strongest
+        # existing record (two green driver rows) or is rows-only
+        # --- SQL-checked, two driver green rows (r2+r3), past cap ---
+        "token_counts": analytics.token_counts,
+        "token_totals": analytics.token_totals,
+        "heavy_hitters": analytics.heavy_hitters,
+        "events_hourly": analytics.events_hourly,
+        "events_lag": analytics.events_lag,
+        "distinct_users": analytics.distinct_users,
+        "pricing_summary": analytics.pricing_summary,
+        "order_lineitem_join": analytics.order_lineitem_join,
+        "brand_nation_revenue": analytics.brand_nation_revenue,
+        "events_value_stats": analytics.events_value_stats,
         # --- sketch estimates (deterministic, rows-only) ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
         "countsketch_word_estimates": sketch_queries.countsketch_word_estimates,
@@ -152,26 +170,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_kmv": sketch_queries.doc_sample_kmv,
         "doc_weighted_sample": sketch_queries.doc_weighted_sample,
         "source_weighted_sample": sketch_queries.source_weighted_sample,
-        "events_outliers": analytics.events_outliers,
-        "events_value_quantiles": analytics.events_value_quantiles,
-        "source_oov_rate": analytics.source_oov_rate,
-        "source_token_joinsize": analytics.source_token_joinsize,
         "source_shingle_overlap": sketch_queries.source_shingle_overlap,
         "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
         "corpus_write_lineage": _corpus_write_lineage,
         "events_range_partition": _range_partitioned_write,
-        # --- near-dup / text analysis ---
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (LSH recall)
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # SQL-checked
-        "neardup_components": dedup.neardup_components,  # SQL-checked
+        # --- near-dup / text analysis (rows-only) ---
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # LSH recall in pytest
         "simhash_pairs": dedup.simhash_pairs,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "embedding_near_dup_lsh": ann.embedding_near_dup_lsh,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "embedding_clusters": ann.embedding_clusters,
-        "lang_quality": textpipe.lang_quality,  # SQL-checked
         "quality_model_scores": textpipe.quality_model_scores,  # actor-pool inference
-        "train_event_model": ml.train_event_model,  # iterative GD loop (rows-only)
+        "train_event_model": ml.train_event_model,  # iterative GD loop
         "media_decode_stats": _media_decode_stats,
         "media_near_dup": _media_near_dup,
         "doc_fingerprints": textpipe.doc_fingerprints,

@@ -2019,10 +2019,25 @@ def bigram_lift(sf_dir: str, threshold: int = 20, k: int = 20):
         flat = pc.split_pattern(big, " ").flatten().to_numpy(
             zero_copy_only=False
         )
-        ca = cnts[np.searchsorted(voc, flat[0::2])]
-        cb = cnts[np.searchsorted(voc, flat[1::2])]
+        pos_a = np.minimum(np.searchsorted(voc, flat[0::2]), len(voc) - 1)
+        pos_b = np.minimum(np.searchsorted(voc, flat[1::2]), len(voc) - 1)
+        # fail fast if bigram tokenization ever diverges from the
+        # unigram vocabulary (a silent mismatch would mis-count lift)
+        if not (
+            np.array_equal(voc[pos_a], flat[0::2])
+            and np.array_equal(voc[pos_b], flat[1::2])
+        ):
+            raise ValueError("bigram component token missing from unigram vocab")
+        ca, cb = cnts[pos_a], cnts[pos_b]
         cab = batch["cnt"].to_numpy(zero_copy_only=False)
-        lift = cab.astype(np.float64) * np.float64(n_tokens) / (ca * cb)
+        # int64 product matches the oracle's BIGINT multiply bit-for-bit;
+        # above the exact-double regime fall back to float64 (DuckDB
+        # would raise on BIGINT overflow there anyway)
+        if ca.size and float(ca.max()) * float(cb.max()) > 2.0**62:
+            denom = ca.astype(np.float64) * cb.astype(np.float64)
+        else:
+            denom = ca * cb
+        lift = cab.astype(np.float64) * np.float64(n_tokens) / denom
         return batch.append_column("lift", pa.array(lift, pa.float64()))
 
     top = (
@@ -2259,13 +2274,14 @@ def shipping_priority(sf_dir: str, cutoff: str = "1998-01-01", k: int = 10):
     keys_ref = ray.put(keys)
 
     def orders_semi(batch: pa.Table) -> pa.Table:
-        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cols = ["o_orderkey", "o_orderdate", "o_orderpriority"]
         kk = ray.get(keys_ref)
+        if len(kk) == 0:  # no customers in the segment → empty semi-join
+            return batch.slice(0, 0).select(cols)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(kk, ck)
         pos[pos == len(kk)] = 0
-        return batch.filter(pa.array(kk[pos] == ck)).select(
-            ["o_orderkey", "o_orderdate", "o_orderpriority"]
-        )
+        return batch.filter(pa.array(kk[pos] == ck)).select(cols)
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",

@@ -100,8 +100,10 @@ def train_event_model(
     sf_dir: str, iters: int = 8, lr: float = 2.0
 ) -> pd.DataFrame:
     """Fit purchase-vs-rest logistic regression; returns one row per
-    iteration (loss trace) plus the final weights — deterministic
-    bit-for-bit across reruns."""
+    iteration — each row pairs ``mean_loss`` with the SAME weights it
+    was evaluated at (pre-update), and a final row carries the
+    post-training weights with their loss — deterministic bit-for-bit
+    across reruns."""
     feats = (
         read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
         .map_batches(_features, batch_format="pyarrow")
@@ -109,7 +111,10 @@ def train_event_model(
     )
     w = np.zeros(NUM_FEATURES)
     trace = []
-    for it in range(iters):
+    # iters+1 gradient passes: row t records loss(w_t) alongside w_t;
+    # the last pass only evaluates (no update), so the final row is
+    # the trained weights with their own loss
+    for it in range(iters + 1):
         w_ref = ray.put(w)
         parts = feats.map_batches(
             _grad_stage(w_ref), batch_size=None, batch_format="pyarrow"
@@ -120,7 +125,8 @@ def train_event_model(
             [sum(r[f"g{j}"] for r in parts) for j in range(NUM_FEATURES)]
         )
         loss = sum(r["loss"] for r in parts) / n
-        w = w - lr * grad / n
         trace.append((it, loss, *w.tolist()))
+        if it < iters:
+            w = w - lr * grad / n
     cols = ["iteration", "mean_loss"] + [f"w{j}" for j in range(NUM_FEATURES)]
     return pd.DataFrame(trace, columns=cols)

@@ -73,6 +73,8 @@ def _num_docs(sf_dir: str) -> int:
 
 
 def _default_specs(num_docs_hint: int = 1 << 16) -> list[SketchSpec]:
+    from parallel_count_min_sketch_ray.state.countsketch import CountSketch
+
     return [
         SketchSpec("cms", CountMinSketch(eps=0.001, delta=0.1, seed=SEED), "tokens"),
         SketchSpec("hll", HyperLogLog(p=14, seed=SEED), "tokens"),
@@ -83,6 +85,11 @@ def _default_specs(num_docs_hint: int = 1 << 16) -> list[SketchSpec]:
             "doc_id",
             kind="numeric",  # doc_id is int64 in the testdata tables
         ),
+        # Count-Sketch rides the same single scan (VERDICT r3 next #3:
+        # it was the only query re-reading + re-tokenizing the corpus
+        # for one artifact); merge is exact addition, so folding here
+        # leaves its estimates bit-identical
+        SketchSpec("csk", CountSketch(width=8192, depth=7, seed=SEED), "tokens"),
     ]
 
 
@@ -312,14 +319,30 @@ def weekly_distinct_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
     tiny states answer O(days × window-sizes) window queries with zero
     extra passes over the events."""
     grouped = _daily_user_hlls(sf_dir)
-    days = sorted(grouped)
+    if not grouped:
+        return pd.DataFrame(
+            columns=["window_start", "window_end", "distinct_users_estimate"]
+        )
+    # slide over CALENDAR days (a gap day — no events — must not widen
+    # the window beyond window_days calendar days), merging only the
+    # days that have state
+    proto = next(iter(grouped.values()))["hll"]
+    first = np.datetime64(min(grouped), "D")
+    last = np.datetime64(max(grouped), "D")
+    one = np.timedelta64(1, "D")
     rows = []
-    for i in range(window_days - 1, len(days)):
-        window = days[i - window_days + 1 : i + 1]
-        acc = grouped[window[0]]["hll"].empty_like()
-        for d in window:
-            acc.merge(grouped[d]["hll"])
-        rows.append((window[0], days[i], float(acc.estimate())))
+    end = first + (window_days - 1) * one
+    while end <= last:
+        start = end - (window_days - 1) * one
+        acc = proto.empty_like()
+        d = start
+        while d <= end:
+            g = grouped.get(str(d))
+            if g is not None:
+                acc.merge(g["hll"])
+            d = d + one
+        rows.append((str(start), str(end), float(acc.estimate())))
+        end = end + one
     return pd.DataFrame(
         rows, columns=["window_start", "window_end", "distinct_users_estimate"]
     )
@@ -493,14 +516,12 @@ def countsketch_word_estimates(sf_dir: str) -> pd.DataFrame:
     reference lacks).  Estimates may be negative (unbiasedness);
     `error_bound` is the sketch's own sqrt(3·F2/w) radius.  The
     F2-vs-exact and per-word-bound contracts are asserted in pytest
-    (deterministic but not SQL-expressible → rows-only check)."""
-    from parallel_count_min_sketch_ray.state.countsketch import CountSketch
+    (deterministic but not SQL-expressible → rows-only check).
 
-    ds = tokenized_documents(sf_dir)
-    rep = build_sketches(
-        ds, [SketchSpec("csk", CountSketch(width=8192, depth=7, seed=SEED), "tokens")]
-    )
-    sk = rep["csk"]
+    The sketch comes out of the shared multi-sketch pass
+    (:func:`build_all` — one corpus scan for CMS+HLL+KLL+Bloom+CSK),
+    not its own scan."""
+    sk = build_all(sf_dir)["csk"]
     ids = np.array([djb2(w) & 0x7FFFFFFF for w in PROBE_WORDS], dtype=np.int64)
     return pd.DataFrame(
         {
@@ -694,7 +715,9 @@ def source_weighted_sample(sf_dir: str, k: int = 16) -> pd.DataFrame:
     ).astype({"doc_id": np.int64, "rank": np.int64})
 
 
-def bloom_semijoin_count(sf_dir: str, fp_rate: float = 0.01) -> pd.DataFrame:
+def bloom_semijoin_count(
+    sf_dir: str, fp_rate: float = 0.01, broadcast_threshold: int = 1_000_000
+) -> pd.DataFrame:
     """Bloom-pushdown semi-join: count lineitems whose order is
     URGENT-priority, filtering the big side with a Bloom filter of the
     urgent order keys instead of shuffling it — the classic sketch
@@ -702,10 +725,19 @@ def bloom_semijoin_count(sf_dir: str, fp_rate: float = 0.01) -> pd.DataFrame:
 
     The Bloom builds distributed over the (scan-pruned) urgent orders
     through the standard merge tree, broadcasts once (~KBs), and the
-    fact-side scan counts probe hits per block.  No false negatives:
-    bloom_count ≥ exact; overshoot ≤ fp_rate of the non-matching rows
-    (asserted in pytest against the exact semi-join count computed in
-    the same pass from a broadcast key set at this test scale).
+    fact-side scan counts probe hits per block (the broadcast filter
+    is deserialized ONCE per worker, :mod:`..state.broadcast`).  No
+    false negatives: bloom_count ≥ exact; overshoot ≤ fp_rate of the
+    non-matching rows (asserted in pytest against the exact semi-join
+    count).
+
+    The EXACT side is tiered like the repo's joins: at or below
+    ``broadcast_threshold`` build-side keys, a sorted key array
+    broadcasts and every probe batch counts its exact hits in the same
+    pass; above it, nothing materializes on the driver — the Bloom
+    pre-filters the probe side (that IS the runtime-filter payoff:
+    only ~exact + fp_rate·N rows enter the exchange) and a distributed
+    hash semi-join computes the exact count.
     """
     import pyarrow.compute as _pc
     import ray as _ray
@@ -713,55 +745,101 @@ def bloom_semijoin_count(sf_dir: str, fp_rate: float = 0.01) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum
 
+    from parallel_count_min_sketch_ray.pipelines.analytics import _join_partitions
     from parallel_count_min_sketch_ray.pipelines.sketch_build import build_sketch
     from parallel_count_min_sketch_ray.state.bloom import BloomFilter
+    from parallel_count_min_sketch_ray.state.broadcast import sketch_from_ref
 
     urgent = _rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey"],
         filter=_pc.field("o_orderpriority") == "1-URGENT",
-    ).materialize()  # count + Bloom build + exact keys off one execution
+    )
     n_urgent = urgent.count()
+    use_broadcast = n_urgent <= broadcast_threshold
+    if use_broadcast:
+        # small build side: one pinned execution feeds Bloom build +
+        # exact key broadcast (documented small-side materialize)
+        urgent = urgent.materialize()
     proto = BloomFilter(capacity=max(n_urgent, 1024), fp_rate=fp_rate, seed=SEED)
     bloom, _ = build_sketch(urgent, proto, "o_orderkey", kind="numeric")
     bloom_ref = _ray.put(bloom.to_bytes())
-    # exact key set for the same count (small at test scale; at corpus
-    # scale the exact number comes from the hash semi-join instead)
-    keys = np.sort(
-        np.array([r["o_orderkey"] for r in urgent.take_all()], dtype=np.int64)
-    )
-    keys_ref = _ray.put(keys)
+    lineitem = read(sf_dir, "lineitem", ["l_orderkey"])
 
-    def probe(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter.from_bytes(_ray.get(bloom_ref))
-        kk = _ray.get(keys_ref)
-        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        hits = bf.contains(ok)
-        pos = np.searchsorted(kk, ok)
-        pos[pos == len(kk)] = 0
-        exact = kk[pos] == ok
-        return pa.table(
-            {
-                "n_rows": pa.array([batch.num_rows], pa.int64()),
-                "bloom_hits": pa.array([int(hits.sum())], pa.int64()),
-                "exact_hits": pa.array([int(exact.sum())], pa.int64()),
-            }
+    if use_broadcast:
+        keys = np.sort(
+            np.array([r["o_orderkey"] for r in urgent.take_all()], dtype=np.int64)
         )
+        keys_ref = _ray.put(keys)
 
-    agg = (
-        read(sf_dir, "lineitem", ["l_orderkey"])
-        .map_batches(probe, batch_format="pyarrow")
-        .aggregate(
+        def probe(batch: pa.Table) -> pa.Table:
+            bf = sketch_from_ref(bloom_ref)
+            kk = _ray.get(keys_ref)
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            hits = bf.contains(ok)
+            if len(kk) == 0:  # no urgent orders → zero exact matches
+                n_exact = 0
+            else:
+                pos = np.searchsorted(kk, ok)
+                pos[pos == len(kk)] = 0
+                n_exact = int((kk[pos] == ok).sum())
+            return pa.table(
+                {
+                    "n_rows": pa.array([batch.num_rows], pa.int64()),
+                    "bloom_hits": pa.array([int(hits.sum())], pa.int64()),
+                    "exact_hits": pa.array([n_exact], pa.int64()),
+                }
+            )
+
+        agg = lineitem.map_batches(probe, batch_format="pyarrow").aggregate(
             Sum("n_rows", alias_name="n_rows"),
             Sum("bloom_hits", alias_name="bloom_hits"),
             Sum("exact_hits", alias_name="exact_hits"),
         )
-    )
+        n_rows, bloom_hits = int(agg["n_rows"]), int(agg["bloom_hits"])
+        exact_hits = int(agg["exact_hits"])
+    else:
+
+        def probe_counts(batch: pa.Table) -> pa.Table:
+            bf = sketch_from_ref(bloom_ref)
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n_rows": pa.array([batch.num_rows], pa.int64()),
+                    "bloom_hits": pa.array([int(bf.contains(ok).sum())], pa.int64()),
+                }
+            )
+
+        agg = lineitem.map_batches(probe_counts, batch_format="pyarrow").aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("bloom_hits", alias_name="bloom_hits"),
+        )
+        n_rows, bloom_hits = int(agg["n_rows"]), int(agg["bloom_hits"])
+
+        def bloom_prefilter(batch: pa.Table) -> pa.Table:
+            bf = sketch_from_ref(bloom_ref)
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(bf.contains(ok)))
+
+        # no false negatives → filtering first preserves the exact
+        # count; o_orderkey is unique so inner join == semi-join
+        exact_hits = (
+            lineitem.map_batches(bloom_prefilter, batch_format="pyarrow")
+            .join(
+                urgent,
+                join_type="inner",
+                num_partitions=_join_partitions(sf_dir, ["lineitem", "orders"]),
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            )
+            .count()
+        )
+
     return pd.DataFrame(
         {
-            "n_lineitems": [np.int64(agg["n_rows"])],
-            "bloom_semijoin_count": [np.int64(agg["bloom_hits"])],
-            "exact_semijoin_count": [np.int64(agg["exact_hits"])],
+            "n_lineitems": [np.int64(n_rows)],
+            "bloom_semijoin_count": [np.int64(bloom_hits)],
+            "exact_semijoin_count": [np.int64(exact_hits)],
             "configured_fp_rate": [np.float64(fp_rate)],
         }
     )

@@ -155,24 +155,12 @@ def _full_windows(texts: list[str], w: int) -> tuple[list[str], np.ndarray]:
     return wins, counts
 
 
-_bloom_cache: dict[str, object] = {}
-
-
 def _bloom_from_ref(ref) -> "object":
-    """Per-worker-process deserialize-once cache for a broadcast Bloom.
+    """Per-worker-process deserialize-once cache for a broadcast Bloom
+    (the shared :func:`..state.broadcast.sketch_from_ref` cache)."""
+    from parallel_count_min_sketch_ray.state.broadcast import sketch_from_ref
 
-    ``ray.get`` on the same ObjectRef is plasma-cached (zero-copy
-    bytes); this caches the *deserialized* filter so each batch pays a
-    dict lookup, not a bits-array copy."""
-    from parallel_count_min_sketch_ray.state.bloom import BloomFilter
-
-    key = ref.hex()
-    b = _bloom_cache.get(key)
-    if b is None:
-        b = BloomFilter.from_bytes(ray.get(ref))
-        _bloom_cache.clear()
-        _bloom_cache[key] = b
-    return b
+    return sketch_from_ref(ref)
 
 
 def _contamination_candidates(sf_dir: str, w: int = 8, train_pct: int = 90):

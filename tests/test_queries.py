@@ -977,3 +977,19 @@ def test_bloom_semijoin_bounds(ray_session, con):
     assert int(row["bloom_semijoin_count"]) - exact_sql <= max(
         5 * row["configured_fp_rate"] * non_matching, 5
     )
+
+
+def test_bloom_semijoin_large_side_branch(ray_session):
+    """The scale path (build side above the broadcast threshold): no
+    driver key-set materialization — the Bloom pre-filters the probe
+    side and a distributed hash semi-join supplies the exact count.
+    Both tiers must return identical numbers on the same input."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        bloom_semijoin_count,
+    )
+
+    small = bloom_semijoin_count(SF_UNIT).iloc[0]
+    large = bloom_semijoin_count(SF_UNIT, broadcast_threshold=0).iloc[0]
+    assert int(large["exact_semijoin_count"]) == int(small["exact_semijoin_count"])
+    assert int(large["bloom_semijoin_count"]) == int(small["bloom_semijoin_count"])
+    assert int(large["n_lineitems"]) == int(small["n_lineitems"])

@@ -140,7 +140,12 @@ def main() -> None:
     )
     js = json.dumps(record, indent=1)
     print(js)
-    with open(os.path.join(REPO, "BENCH", "scaling_one_epoch_r3.json"), "w") as f:
+    out = os.environ.get(
+        "GRAFT_SCALING_OUT", os.path.join(REPO, "BENCH", "scaling_one_epoch.json")
+    )
+    if not os.path.isabs(out):
+        out = os.path.join(REPO, out)
+    with open(out, "w") as f:
         f.write(js + "\n")
 
 

@@ -152,3 +152,38 @@ def test_scan_rejects_float_values(ray_session):
         keyed_prefix_sum(
             ray.data.from_pandas(df), "part", "order", "val", "cum"
         )
+
+
+def test_scan_pin_and_spool_paths_agree(ray_session):
+    """The spool path (deterministic parquet partitions, no plasma
+    pin) and the pin path (materialize) produce identical running
+    sums on the same input."""
+    import ray.data
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "part": [f"p{int(x)}" for x in rng.integers(0, 9, n)],
+            "order": np.arange(n, dtype=np.int64),
+            "val": rng.integers(-20, 80, n).astype(np.int64),
+        }
+    )
+    outs = {}
+    for via in ("spool", "pin"):
+        ds = ray.data.from_pandas(df).repartition(8)
+        outs[via] = (
+            keyed_prefix_sum(ds, "part", "order", "val", "cum", via=via)
+            .to_pandas()
+            .sort_values(["part", "order"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(
+        outs["spool"][["part", "order", "val", "cum"]],
+        outs["pin"][["part", "order", "val", "cum"]],
+    )
+
+    with pytest.raises(ValueError, match="via"):
+        keyed_prefix_sum(
+            ray.data.from_pandas(df), "part", "order", "val", "cum", via="bogus"
+        )

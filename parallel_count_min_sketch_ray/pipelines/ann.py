@@ -227,8 +227,8 @@ def ann_ivf_topk(
     sf_dir: str,
     k: int = 10,
     num_queries: int = 5,
-    num_centroids: int = 16,
-    nprobe: int = 4,
+    num_centroids: int | None = 16,
+    nprobe: int | None = 4,
     seed: int = 42,
     max_train: int = 65536,
 ) -> pd.DataFrame:
@@ -238,6 +238,12 @@ def ann_ivf_topk(
     here the probe-filter runs inside the scan.  Approximate — recall
     measured in tests against :func:`ann_topk`.
 
+    ``num_centroids=None`` derives the list count from the corpus
+    size (≈√n, the standard IVF sizing, clamped to [16, 4096] — free
+    from parquet metadata), and ``nprobe=None`` then probes ~1/4 of
+    the lists; the driver query keeps the explicit small-corpus
+    defaults (16/4) so results stay comparable across rounds.
+
     The coarse quantizer trains on a bounded ``max_train``-row SAMPLE:
     a seeded ``Dataset.random_sample`` over the whole table (uniform —
     representative even when the input is sorted/clustered on disk),
@@ -246,6 +252,10 @@ def ann_ivf_topk(
     import pyarrow.parquet as pq_
 
     n_rows = pq_.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if num_centroids is None:
+        num_centroids = int(min(max(16, round(n_rows ** 0.5)), 4096))
+    if nprobe is None:
+        nprobe = max(2, num_centroids // 4)
     emb = read(sf_dir, "embeddings", ["embedding"])
     if n_rows > max_train:
         # oversample 20% so the post-sample limit() rarely truncates a

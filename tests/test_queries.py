@@ -370,6 +370,25 @@ def test_ann_ivf_recall(ray_session):
     assert (r1["query_id"].to_numpy() == r1["vec_id"].to_numpy()).all()
 
 
+def test_ann_ivf_derived_geometry(ray_session):
+    """num_centroids=None derives ≈√n lists from parquet metadata (and
+    nprobe=None probes ~1/4 of them); recall must hold at the derived
+    geometry too."""
+    import pyarrow.parquet as pq_
+
+    from parallel_count_min_sketch_ray.pipelines.ann import ann_ivf_topk, ann_topk
+
+    n = pq_.ParquetFile(f"{SF_UNIT}/embeddings.parquet").metadata.num_rows
+    expect_lists = int(min(max(16, round(n ** 0.5)), 4096))
+    ivf = ann_ivf_topk(SF_UNIT, k=10, num_queries=5, num_centroids=None, nprobe=None)
+    exact = ann_topk(SF_UNIT, k=10, num_queries=5)
+    ex = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    hits = sum((r.query_id, r.vec_id) in ex for r in ivf.itertuples())
+    assert hits >= len(ex) * 0.5, (hits, len(ex), expect_lists)
+    r1 = ivf[ivf["rank"] == 1]
+    assert (r1["query_id"].to_numpy() == r1["vec_id"].to_numpy()).all()
+
+
 def test_ngram_jaccard_distributed_matches_bruteforce(ray_session, planted_corpus):
     """The inverted-index distributed Jaccard is exact: identical pair
     set and values to the all-pairs brute force."""

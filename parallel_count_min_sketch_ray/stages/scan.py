@@ -53,10 +53,24 @@ cents first (the repo-wide exact-money convention).
 
 from __future__ import annotations
 
+import atexit
+import shutil
+
 import numpy as np
 import pyarrow as pa
 
 import ray
+
+_SPOOL_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_spools() -> None:
+    """Remove this process's scan spools on exit — a spool must outlive
+    every lazy consumer of its Dataset, and process exit is the only
+    point that's guaranteed."""
+    for d in _SPOOL_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _block_id(batch: pa.Table, part_col: str, order_cols: list[str]) -> str:
@@ -263,6 +277,8 @@ def keyed_prefix_sum(
     from parallel_count_min_sketch_ray.state.checkpoint import plan_partitions
 
     spool_dir = tempfile.mkdtemp(prefix="pcmr-scan-spool-")
+    _SPOOL_DIRS.append(spool_dir)  # removed at process exit (lazy
+    # consumers may read the spool any time before then)
     ds.sort([part_col, *order_cols]).write_parquet(spool_dir)
     paths = sorted(_glob.glob(f"{spool_dir}/*.parquet"))
     parts = plan_partitions(paths, spool_rows_per_partition)

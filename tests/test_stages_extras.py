@@ -539,3 +539,45 @@ def test_csv_and_json_sink_roundtrip(ray_session, tmp_path):
         assert list(df["source"]) == list(base["source"])
         assert list(df["n_tokens"]) == list(base["n_tokens"])
         assert list(df["n_docs"]) == list(base["n_docs"])
+
+
+def test_broadcast_sketch_ref_cache_deserializes_once(ray_session):
+    """state/broadcast.sketch_from_ref: same ObjectRef → same sketch
+    OBJECT (no per-call from_bytes), different refs → different
+    entries."""
+    import ray as _ray
+
+    from parallel_count_min_sketch_ray.state.bloom import BloomFilter
+    from parallel_count_min_sketch_ray.state.broadcast import sketch_from_ref
+
+    bf = BloomFilter(capacity=1024, fp_rate=0.01, seed=3)
+    import numpy as np
+
+    bf.update(np.arange(100, dtype=np.int64))
+    ref1 = _ray.put(bf.to_bytes())
+    ref2 = _ray.put(bf.to_bytes())
+    a, b = sketch_from_ref(ref1), sketch_from_ref(ref1)
+    assert a is b  # cached instance, not a fresh deserialize
+    c = sketch_from_ref(ref2)
+    assert c is not a
+    assert c.contains(np.array([5], dtype=np.int64)).all()
+
+
+def test_scan_spool_dirs_registered_for_cleanup(ray_session):
+    """Every spool the scan creates is queued for atexit removal."""
+    import pandas as pd
+
+    import ray.data
+
+    from parallel_count_min_sketch_ray.stages import scan as scan_mod
+
+    before = len(scan_mod._SPOOL_DIRS)
+    df = pd.DataFrame({"part": ["a", "b"], "order": [0, 1], "val": [1, 2]})
+    out = scan_mod.keyed_prefix_sum(
+        ray.data.from_pandas(df), "part", "order", "val", "cum"
+    ).to_pandas()
+    assert len(out) == 2
+    assert len(scan_mod._SPOOL_DIRS) == before + 1
+    import os
+
+    assert os.path.isdir(scan_mod._SPOOL_DIRS[-1])

@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_words": sketch_queries.hll_distinct_words,
         "kll_ntok_quantiles": sketch_queries.kll_ntok_quantiles,
         "tdigest_value_quantiles": sketch_queries.tdigest_value_quantiles,
+        "ddsketch_value_quantiles": sketch_queries.ddsketch_value_quantiles,
         "type_value_quantiles": sketch_queries.type_value_quantiles,
         "daily_distinct_users": sketch_queries.daily_distinct_users,
         "weekly_distinct_users": sketch_queries.weekly_distinct_users,
@@ -181,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": ann.embedding_near_dup_lsh,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "embedding_clusters": ann.embedding_clusters,
+        "embedding_principal_directions": ann.embedding_principal_directions,
         "quality_model_scores": textpipe.quality_model_scores,  # actor-pool inference
         "train_event_model": ml.train_event_model,  # iterative GD loop
         "media_decode_stats": _media_decode_stats,

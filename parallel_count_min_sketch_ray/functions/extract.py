@@ -42,6 +42,23 @@ def numeric_column(batch, column: str) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def matrix_column(batch, column: str) -> np.ndarray:
+    """2-D float64 (rows × dim) view of a fixed-width list<float>
+    column — the embedding-matrix shape for matrix sketches
+    (:mod:`..state.fd`).  Vectorized reshape off the flat child
+    buffer; raises if row widths are ragged."""
+    col = _as_arrow_column(batch, column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if n == 0:
+        return flat.reshape(0, 0)
+    if flat.size % n:
+        raise ValueError(f"ragged list column {column!r}: not a matrix")
+    return flat.reshape(n, flat.size // n)
+
+
 def hashed_string_column(batch, column: str) -> np.ndarray:
     """uint64 content hashes of a string column (FNV-1a, vectorized)."""
     col = _as_arrow_column(batch, column)
@@ -62,6 +79,8 @@ def make_extractor(column: str, kind: str = "auto"):
         return lambda b: numeric_column(b, column)
     if kind == "string_hash":
         return lambda b: hashed_string_column(b, column)
+    if kind == "matrix":
+        return lambda b: matrix_column(b, column)
     if kind != "auto":
         raise ValueError(f"unknown extractor kind {kind!r}")
 

@@ -643,3 +643,43 @@ def embedding_clusters(
     )
     agg["mean_dist"] = agg["dist_sum"] / agg["n"]
     return agg[["cluster", "n", "mean_dist"]]
+
+
+def embedding_principal_directions(
+    sf_dir: str, ell: int = 64, k: int = 8
+) -> pd.DataFrame:
+    """Top-k principal directions / spectral energy of the embedding
+    corpus via a distributed Frequent Directions matrix sketch
+    (:mod:`..state.fd`, Liberty 2013 / Ghashami et al. 2016) — the
+    deterministic matrix analogue of Misra–Gries, riding the same
+    merge-tree machinery as the counting sketches.
+
+    Each partition folds its rows into an ``ell×d`` partial; partials
+    merge by stack-and-shrink with the published covariance guarantee
+    ``||A'A - B'B||_2 <= ||A||_F^2 / ell``, so a 100 TB corpus's top
+    singular structure reaches the driver as a few KB.  The exact
+    ``||A||_F^2`` rides alongside, making ``energy_fraction`` an exact
+    denominator and the spectral bound checkable post hoc (asserted vs
+    a full SVD in pytest at test scale; rows-only driver check)."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        SketchSpec,
+        build_sketches,
+    )
+    from parallel_count_min_sketch_ray.state.fd import FrequentDirections
+
+    ds = read(sf_dir, "embeddings", ["embedding"])
+    rep = build_sketches(
+        ds,
+        [SketchSpec("fd", FrequentDirections(ell=ell), "embedding", kind="matrix")],
+    )
+    fd = rep["fd"]
+    s, _ = fd.top_directions(k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, s.size + 1, dtype=np.int64),
+            "singular_value": np.round(s, 6),
+            "energy_fraction": np.round(s**2 / fd.fro2, 8),
+            "n_rows": np.int64(fd.n),
+            "spectral_error_bound": np.float64(round(fd.error_bound(), 6)),
+        }
+    )

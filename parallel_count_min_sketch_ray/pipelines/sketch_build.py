@@ -40,7 +40,7 @@ class SketchSpec:
     name: str
     proto: Any
     column: str
-    kind: str = "auto"  # extractor kind: list | numeric | string_hash | auto
+    kind: str = "auto"  # extractor kind: list | numeric | string_hash | matrix | auto
 
 
 @dataclass

@@ -209,6 +209,34 @@ def type_value_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def ddsketch_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Quantiles of events.value via a distributed DDSketch build
+    (:mod:`..state.ddsketch`, Masson et al. VLDB 2019) — the
+    RELATIVE-error sibling: every returned quantile is within
+    ``alpha=0.01`` of an actual element's value at that rank.
+
+    Unlike the KLL/t-digest paths, the state is a pure integer
+    log-bucket histogram, so while no collapse triggers the
+    distributed build is **bit-identical to a serial pass in any
+    merge order** — asserted in pytest alongside the relative-error
+    envelope vs the exact distribution (rows-only driver check)."""
+    from parallel_count_min_sketch_ray.state.ddsketch import DDSketch
+
+    ds = read(sf_dir, "events", ["value"])
+    rep = build_sketches(ds, [SketchSpec("dd", DDSketch(alpha=0.01), "value")])
+    dd = rep["dd"]
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999]
+    return pd.DataFrame(
+        {
+            "q": qs,
+            "value_quantile": dd.quantiles(qs),
+            "n": np.int64(dd.n),
+            "num_buckets": np.int64(dd.num_buckets()),
+            "collapsed": bool(dd.collapsed()),
+        }
+    )
+
+
 def ntok_range_mass(sf_dir: str) -> pd.DataFrame:
     """Range-mass estimates over the ``n_tok`` stream via the
     dyadic-range CMS — the O(log U) upgrade of the reference's naive

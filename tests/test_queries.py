@@ -215,6 +215,55 @@ def test_tdigest_value_quantiles_vs_exact(ray_session, con):
         assert abs(rank - row["q"]) <= 0.005 + 1.0 / vals.size, row["q"]
 
 
+def test_ddsketch_value_quantiles_vs_exact(ray_session, con):
+    """Relative-error envelope (|est - exact| <= alpha*exact) AND the
+    hard-determinism contract: the distributed build's state is
+    bit-identical to a serial single-process pass (integer log-bucket
+    histogram, no collapse at this scale)."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        ddsketch_value_quantiles,
+    )
+    from parallel_count_min_sketch_ray.state.ddsketch import DDSketch
+
+    df = ddsketch_value_quantiles(SF_UNIT)
+    vals = con.sql("SELECT value FROM events").df()["value"].to_numpy()
+    assert int(df["n"].iloc[0]) == vals.size
+    assert not bool(df["collapsed"].iloc[0])
+    exact = np.quantile(vals, df["q"].to_numpy(), method="lower")
+    rel = np.abs(df["value_quantile"].to_numpy() - exact) / np.maximum(
+        np.abs(exact), 1e-12
+    )
+    assert (rel <= 0.01 + 1e-9).all(), rel
+    serial = DDSketch(alpha=0.01)
+    serial.update(vals)
+    got = ddsketch_value_quantiles(SF_UNIT)  # same build, memo or not
+    assert np.array_equal(
+        got["value_quantile"].to_numpy(), serial.quantiles(df["q"].to_numpy())
+    )
+
+
+def test_embedding_principal_directions_vs_exact_svd(ray_session, con):
+    """Distributed Frequent Directions vs a full in-memory SVD: the
+    covariance spectral bound holds and the top singular values are
+    tight (the corpus is tiny relative to ell here, so near-exact)."""
+    from parallel_count_min_sketch_ray.pipelines.ann import (
+        embedding_principal_directions,
+    )
+
+    df = embedding_principal_directions(SF_UNIT, ell=64, k=4)
+    emb = con.sql("SELECT embedding FROM embeddings").df()["embedding"]
+    A = np.stack(emb.to_numpy()).astype(np.float64)
+    assert int(df["n_rows"].iloc[0]) == A.shape[0]
+    s_exact = np.linalg.svd(A, compute_uv=False)
+    est = df["singular_value"].to_numpy()
+    # FD shrink only ever LOWERS energy; bound per direction:
+    # s_exact^2 - est^2 <= ||A||_F^2 / ell
+    fro2 = float((A * A).sum())
+    assert ((s_exact[:4] ** 2 - est**2) <= fro2 / 64 + 1e-6).all()
+    assert (est <= s_exact[:4] + 1e-6).all()
+    assert float(df["spectral_error_bound"].iloc[0]) == round(fro2 / 64, 6)
+
+
 def test_type_value_quantiles_grouped_tdigest(ray_session, con):
     from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
         type_value_quantiles,

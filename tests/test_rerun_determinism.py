@@ -54,7 +54,7 @@ def _canonical(res) -> pd.DataFrame:
 
 def test_rows_only_query_set_is_expected():
     names = _rows_only_names()
-    assert len(names) == 34, names
+    assert len(names) == 36, names
 
 
 @pytest.mark.parametrize("name", _rows_only_names())

@@ -294,6 +294,7 @@ def test_describe_all_sketches():
     from parallel_count_min_sketch_ray.state.hll import HyperLogLog
     from parallel_count_min_sketch_ray.state.kll import KLLSketch
     from parallel_count_min_sketch_ray.state.minhash import MinHashSignature
+    from parallel_count_min_sketch_ray.state.ddsketch import DDSketch
     from parallel_count_min_sketch_ray.state.tdigest import TDigest
     from parallel_count_min_sketch_ray.state.topk import TopKSketch
 
@@ -305,6 +306,7 @@ def test_describe_all_sketches():
         KLLSketch(),
         TopKSketch(k=8),
         TDigest(),
+        DDSketch(),
     ):
         sk.update(data)
         out = sk.describe()
@@ -715,3 +717,169 @@ def test_ares_rejects_bad_weights():
         sk.update(np.array([1]), np.array([0.0]))
     with _pytest.raises(ValueError):
         sk.update(np.array([1, 2]), np.array([1.0]))
+
+
+# ---- DDSketch (relative-error quantiles, Masson et al. VLDB 2019) ---------
+
+
+@pytest.mark.parametrize("dist", ["lognormal", "pareto", "uniform", "mixed_sign"])
+def test_ddsketch_relative_error_bound(dist):
+    """Published guarantee: every returned quantile is within
+    alpha relative error of an actual element at that rank."""
+    from parallel_count_min_sketch_ray.state.ddsketch import DDSketch
+
+    rng = np.random.default_rng(7)
+    if dist == "lognormal":
+        data = rng.lognormal(3, 2, 200_000)
+    elif dist == "pareto":
+        data = (rng.pareto(1.5, 200_000) + 1) * 10
+    elif dist == "uniform":
+        data = rng.uniform(0.5, 1e6, 200_000)
+    else:  # negatives + zeros exercise all three stores
+        data = np.concatenate([rng.normal(0, 100, 100_000), np.zeros(500)])
+    sk = DDSketch(alpha=0.01)
+    sk.update(data)
+    assert not sk.collapsed()
+    qs = np.array([0.01, 0.25, 0.5, 0.9, 0.99, 0.999])
+    est = sk.quantiles(qs)
+    exact = np.quantile(data, qs, method="lower")
+    rel = np.abs(est - exact) / np.maximum(np.abs(exact), 1e-12)
+    assert (rel <= 0.01 + 1e-9).all(), (dist, rel)
+    assert sk.n == data.size
+
+
+def test_ddsketch_merge_bit_exact_any_split():
+    """Integer bucket counts over deterministic keys: while no collapse
+    triggers, every merge order yields the IDENTICAL byte blob — the
+    same hard determinism contract as CMS/HLL/KMV (distributed ==
+    serial to the last bit)."""
+    import itertools
+
+    from parallel_count_min_sketch_ray.state.ddsketch import DDSketch
+
+    rng = np.random.default_rng(3)
+    data = rng.lognormal(3, 2, 50_000)
+    serial = DDSketch(0.01)
+    serial.update(data)
+    parts = np.array_split(data, 7)
+    blobs = set()
+    for perm in itertools.islice(itertools.permutations(range(7)), 6):
+        m = DDSketch(0.01)
+        for i in perm:
+            p = DDSketch(0.01)
+            p.update(parts[i])
+            m.merge(p)
+        blobs.add(m.to_bytes())
+    assert len(blobs) == 1
+    assert blobs.pop() == serial.to_bytes()
+
+
+def test_ddsketch_collapse_preserves_upper_quantiles():
+    """The max_bins collapse folds the LOWEST buckets (paper §2.3);
+    quantiles above the collapsed mass keep the alpha guarantee."""
+    from parallel_count_min_sketch_ray.state.ddsketch import DDSketch
+
+    rng = np.random.default_rng(11)
+    data = 10.0 ** rng.uniform(-30, 30, 50_000)  # ~14k raw buckets
+    sk = DDSketch(alpha=0.01, max_bins=256)
+    sk.update(data)
+    assert sk.collapsed() and sk.num_buckets() <= 257
+    # 256 bins at alpha=0.01 retain ~2.2 of the 60 decades -> only the
+    # top ~3.5% of mass keeps the guarantee; probe inside that region
+    for q in (0.99, 0.999):
+        exact = np.quantile(data, q, method="lower")
+        assert abs(sk.quantile(q) - exact) / exact <= 0.01 + 1e-9
+    # below the collapse floor the estimate degrades but stays one
+    # bucket: everything folded reports the floor's representative
+    assert sk.quantile(0.5) == sk.quantile(0.01)
+
+
+def test_ddsketch_weighted_zero_negative_serde_and_guards():
+    from parallel_count_min_sketch_ray.state.ddsketch import DDSketch
+
+    vals = np.array([-5.0, 0.0, 3.0, 3.0, 7.5])
+    a = DDSketch(0.02)
+    a.update(vals)
+    b = DDSketch(0.02)
+    b.update(np.array([-5.0, 0.0, 3.0, 7.5]), np.array([1, 1, 2, 1]))
+    assert a.to_bytes() == b.to_bytes()  # weighted == repeated, bit-exact
+    rt = DDSketch.from_bytes(a.to_bytes())
+    assert rt.to_bytes() == a.to_bytes() and rt.n == 5 and rt.zero_count == 1
+    assert rt.count_le(0.0) == 2  # the -5 and the zero
+    with pytest.raises(ValueError):
+        a.merge(DDSketch(0.01))  # identity mismatch
+    with pytest.raises(ValueError):
+        a.update(np.array([np.inf]))
+    with pytest.raises(ValueError):
+        a.update(np.array([1.0]), np.array([-1]))
+    assert np.isnan(DDSketch(0.01).quantile(0.5))
+    assert "DDSketch" in a.describe()
+
+
+# ---- Frequent Directions (matrix sketch, Liberty 2013) ---------------------
+
+
+def test_fd_covariance_spectral_bound_and_directions():
+    """Published guarantee: ||A'A - B'B||_2 <= ||A||_F^2 / ell; on a
+    low-rank-plus-noise corpus the top directions are near-exact."""
+    from parallel_count_min_sketch_ray.state.fd import FrequentDirections
+
+    rng = np.random.default_rng(5)
+    n, d, ell = 20_000, 64, 32
+    A = rng.normal(size=(n, 4)) @ rng.normal(size=(4, d)) * 3
+    A += rng.normal(size=(n, d)) * 0.3
+    fd = FrequentDirections(ell=ell)
+    for chunk in np.array_split(A, 37):
+        fd.update(chunk)
+    err = np.linalg.norm(A.T @ A - fd.covariance(), 2)
+    assert err <= fd.error_bound()
+    assert fd.n == n and abs(fd.fro2 - (A * A).sum()) < 1e-6 * fd.fro2
+    s_est, vt = fd.top_directions(4)
+    _, s_ex, vt_ex = np.linalg.svd(A, full_matrices=False)
+    # top singular values within 1% (noise floor shrinks, signal stays)
+    assert np.allclose(s_est, s_ex[:4], rtol=0.01)
+    # estimated top-4 subspace aligns with the true one
+    overlap = np.linalg.svd(vt @ vt_ex[:4].T, compute_uv=False)
+    assert overlap.min() > 0.99
+
+
+def test_fd_merge_preserves_bound_any_order():
+    """Stack-and-shrink merging keeps the covariance guarantee in any
+    merge order (Ghashami et al. §3) and exact n / ||A||_F^2."""
+    from parallel_count_min_sketch_ray.state.fd import FrequentDirections
+
+    rng = np.random.default_rng(9)
+    A = rng.normal(size=(6_000, 16))
+    parts = np.array_split(A, 8)
+    for order in (range(8), reversed(range(8))):
+        m = FrequentDirections(ell=24)
+        for i in order:
+            p = FrequentDirections(ell=24)
+            p.update(parts[i])
+            m.merge(FrequentDirections.from_bytes(p.to_bytes()))
+        err = np.linalg.norm(A.T @ A - m.covariance(), 2)
+        assert err <= m.error_bound()
+        assert m.n == A.shape[0]
+        assert abs(m.fro2 - (A * A).sum()) < 1e-6 * m.fro2
+
+
+def test_fd_weighted_serde_and_guards():
+    from parallel_count_min_sketch_ray.state.fd import FrequentDirections
+
+    fd = FrequentDirections(ell=8)
+    fd.update(np.ones((2, 3)), np.array([3, 2]))
+    assert fd.n == 5 and abs(fd.fro2 - 15.0) < 1e-9
+    rt = FrequentDirections.from_bytes(fd.to_bytes())
+    assert rt.n == 5 and rt.dim == 3
+    assert np.allclose(rt.covariance(), fd.covariance())
+    with pytest.raises(ValueError):
+        fd.update(np.ones((1, 4)))  # dim mismatch
+    with pytest.raises(ValueError):
+        fd.update(np.array([[np.nan, 0, 0]]))
+    with pytest.raises(ValueError):
+        fd.merge(FrequentDirections(ell=9, dim=3))
+    # merging into an empty (dim-less) sketch adopts the other's dim
+    empty = FrequentDirections(ell=8)
+    empty.merge(rt)
+    assert empty.dim == 3 and empty.n == 5
+    assert "FrequentDirections" in fd.describe()

@@ -163,11 +163,21 @@ def _bloom_from_ref(ref) -> "object":
     return sketch_from_ref(ref)
 
 
+_contamination_cache: dict[tuple, object] = {}
+
+
 def _contamination_candidates(sf_dir: str, w: int = 8, train_pct: int = 90):
     """EXACT verified cross-split overlaps as a Dataset of
     (doc_id, source, sh) rows — the shared core of
     :func:`decontaminate_ngram` (per-source counts) and
-    :func:`curate_corpus` (contamination mask):
+    :func:`curate_corpus` (contamination mask).  The result is
+    memoized materialized per (sf_dir, Ray job, w, train_pct) — it is
+    contamination-proportional (tiny), and both consumers ask for the
+    identical table, so the corpus-wide Bloom prefilter scan runs once
+    per session, not once per query (same policy as
+    ``sketch_queries.tokenized_documents``).
+
+    Stages:
 
     1. one scan emits the val side's per-batch-distinct shingles — a
        *dataset* (never driver state);
@@ -197,6 +207,12 @@ def _contamination_candidates(sf_dir: str, w: int = 8, train_pct: int = 90):
         build_sketches,
     )
     from parallel_count_min_sketch_ray.state.bloom import BloomFilter
+
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    memo_key = (sf_dir, job, w, train_pct)
+    cached = _contamination_cache.get(memo_key)
+    if cached is not None:
+        return cached
 
     def val_shingles(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -270,13 +286,15 @@ def _contamination_candidates(sf_dir: str, w: int = 8, train_pct: int = 90):
     )
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     num_partitions = max(2, min(4 * cpus, 1 + n_val // 2_000_000))
-    return cand.join(
+    joined = cand.join(
         val_distinct,
         join_type="inner",
         num_partitions=num_partitions,
         on=("sh",),
         right_on=("sh_v",),
-    )
+    ).materialize()  # contamination-proportional: tiny, safe to pin
+    _contamination_cache[memo_key] = joined
+    return joined
 
 
 def decontaminate_ngram(sf_dir: str, w: int = 8, train_pct: int = 90):

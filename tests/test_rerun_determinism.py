@@ -32,6 +32,7 @@ def _clear_memo_caches():
         analytics,
         dedup,
         sketch_queries,
+        textpipe,
     )
 
     analytics._token_counts_cache.clear()
@@ -39,6 +40,7 @@ def _clear_memo_caches():
     sketch_queries._tokenized_cache.clear()
     sketch_queries._BUILD_CACHE.clear()
     sketch_queries._daily_hll_cache.clear()
+    textpipe._contamination_cache.clear()
 
 
 def _canonical(res) -> pd.DataFrame:

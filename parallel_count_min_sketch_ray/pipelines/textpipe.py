@@ -14,6 +14,7 @@ import ray
 from parallel_count_min_sketch_ray.functions import textops
 from parallel_count_min_sketch_ray.functions.hashing import hash64_strings, splitmix64
 from parallel_count_min_sketch_ray.pipelines.analytics import _group_sum, read
+from parallel_count_min_sketch_ray.state.broadcast import sketch_from_ref
 
 # BPE-ish word/number/punct tokens; RE2 syntax valid for both pyarrow
 # and DuckDB's regexp_extract_all (oracle parity).
@@ -157,9 +158,13 @@ def _full_windows(texts: list[str], w: int) -> tuple[list[str], np.ndarray]:
 
 def _bloom_from_ref(ref) -> "object":
     """Per-worker-process deserialize-once cache for a broadcast Bloom
-    (the shared :func:`..state.broadcast.sketch_from_ref` cache)."""
-    from parallel_count_min_sketch_ray.state.broadcast import sketch_from_ref
+    (the shared :func:`..state.broadcast.sketch_from_ref` cache).
 
+    ``sketch_from_ref`` is bound at MODULE level (not imported inside
+    this body): this function executes on workers, and a by-name
+    package import there fails whenever the driver's cwd/sys.path
+    doesn't expose the repo — the module-level binding ships by value
+    with the closure (see :mod:`..shipping`)."""
     return sketch_from_ref(ref)
 
 

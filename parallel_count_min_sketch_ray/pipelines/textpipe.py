@@ -171,7 +171,9 @@ def _bloom_from_ref(ref) -> "object":
 _contamination_cache: dict[tuple, object] = {}
 
 
-def _contamination_candidates(sf_dir: str, w: int = 8, train_pct: int = 90):
+def _contamination_candidates(
+    sf_dir: str, w: int = 8, train_pct: int = 90, shards: int = 1
+):
     """EXACT verified cross-split overlaps as a Dataset of
     (doc_id, source, sh) rows — the shared core of
     :func:`decontaminate_ngram` (per-source counts) and
@@ -202,8 +204,14 @@ def _contamination_candidates(sf_dir: str, w: int = 8, train_pct: int = 90):
     proportional, not corpus-proportional.  The val side (10% of the
     corpus) pays one groupby to dedupe the join build side; a hot
     boilerplate shingle therefore joins once, not once per val doc.
-    At extreme scale, shard the Bloom by shingle-hash prefix and route
-    each train block through its shard's filter.
+
+    ``shards`` is the extreme-scale path: with ``shards > 1`` the val
+    keys route to ``key % shards`` and one Bloom per shard is built
+    through the KEYED merge tree (``build_sketches_by_key``), so no
+    single filter need hold the whole val shingle set — each worker
+    probes the shard its key hashes to.  Output is bit-identical to
+    the single-filter path (the exact join strips false positives
+    either way); asserted in pytest.
     """
     from ray.data.aggregate import Count, Min, Sum
 
@@ -214,7 +222,7 @@ def _contamination_candidates(sf_dir: str, w: int = 8, train_pct: int = 90):
     from parallel_count_min_sketch_ray.state.bloom import BloomFilter
 
     job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
-    memo_key = (sf_dir, job, w, train_pct)
+    memo_key = (sf_dir, job, w, train_pct, shards)
     cached = _contamination_cache.get(memo_key)
     if cached is not None:
         return cached
@@ -235,19 +243,49 @@ def _contamination_candidates(sf_dir: str, w: int = 8, train_pct: int = 90):
         _f, _s, _d, keys = _window_key_stream(
             uniq, w, np.ones(len(uniq), dtype=bool)
         )
-        return pa.table({"sh_v": uniq, "key": pa.array(keys)})
+        t = pa.table({"sh_v": uniq, "key": pa.array(keys)})
+        if shards > 1:
+            t = t.append_column(
+                "shard", pa.array((keys % np.uint64(shards)).astype(np.int64))
+            )
+        return t
 
     docs = read(sf_dir, "documents", ["doc_id", "text", "source"])
     val_ds = docs.map_batches(val_shingles, batch_format="pyarrow").materialize()
     # capacity from the materialized count (cross-batch dupes only
     # inflate it, which only lowers the realized fp rate)
     n_val = max(1024, val_ds.count())
-    spec = SketchSpec(
-        "bloom", BloomFilter(capacity=n_val, fp_rate=0.01, seed=42), "key",
-        kind="numeric",
-    )
-    bloom = build_sketches(val_ds, [spec])["bloom"]
-    blob_ref = ray.put(bloom.to_bytes())
+    if shards == 1:
+        spec = SketchSpec(
+            "bloom", BloomFilter(capacity=n_val, fp_rate=0.01, seed=42), "key",
+            kind="numeric",
+        )
+        bloom = build_sketches(val_ds, [spec])["bloom"]
+        blob_refs = [ray.put(bloom.to_bytes())]
+    else:
+        from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+            build_sketches_by_key,
+        )
+
+        # one filter per shard through the keyed merge tree: no single
+        # Bloom holds the whole val set.  Per-shard capacity ~n/shards;
+        # skew only raises that shard's realized fp rate (the exact
+        # join strips false positives regardless).
+        cap = max(1024, n_val // shards + 1)
+        spec = SketchSpec(
+            "bloom", BloomFilter(capacity=cap, fp_rate=0.01, seed=42), "key",
+            kind="numeric",
+        )
+        grouped = {
+            int(k): v for k, v in build_sketches_by_key(val_ds, "shard", [spec]).items()
+        }
+        empty = BloomFilter(capacity=cap, fp_rate=0.01, seed=42)
+        blob_refs = [
+            ray.put(
+                (grouped[s]["bloom"] if s in grouped else empty).to_bytes()
+            )
+            for s in range(shards)
+        ]
 
     def prefilter(batch: pa.Table) -> pa.Table:
         # the 90% side: window keys stream straight from per-word hashes
@@ -256,7 +294,14 @@ def _contamination_candidates(sf_dir: str, w: int = 8, train_pct: int = 90):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         mask = textops.split_buckets(ids) < train_pct
         flat, starts, docs, keys = _window_key_stream(batch["text"], w, mask)
-        hit = _bloom_from_ref(blob_ref).contains(keys)
+        if len(blob_refs) == 1:
+            hit = _bloom_from_ref(blob_refs[0]).contains(keys)
+        else:
+            hit = np.zeros(keys.size, dtype=bool)
+            sh_of = (keys % np.uint64(len(blob_refs))).astype(np.int64)
+            for s in np.unique(sh_of):
+                m = sh_of == s
+                hit[m] = _bloom_from_ref(blob_refs[s]).contains(keys[m])
         starts, docs = starts[hit], docs[hit]
         # hits are sparse (true overlaps + <= fp_rate of the stream):
         # build their strings and dedupe (doc, STRING) exactly so the
@@ -302,14 +347,18 @@ def _contamination_candidates(sf_dir: str, w: int = 8, train_pct: int = 90):
     return joined
 
 
-def decontaminate_ngram(sf_dir: str, w: int = 8, train_pct: int = 90):
+def decontaminate_ngram(
+    sf_dir: str, w: int = 8, train_pct: int = 90, shards: int = 1
+):
     """Cross-split n-gram decontamination, EXACT: train-split documents
     sharing any full ``w``-gram with any val-split document, counted
     per source (the production eval-decontamination report).  All the
-    machinery lives in :func:`_contamination_candidates`."""
+    machinery lives in :func:`_contamination_candidates`; ``shards > 1``
+    selects the sharded-Bloom extreme-scale path (bit-identical
+    output)."""
     from ray.data.aggregate import Min, Sum
 
-    joined = _contamination_candidates(sf_dir, w, train_pct)
+    joined = _contamination_candidates(sf_dir, w, train_pct, shards)
 
     def per_source(batch: pa.Table) -> pa.Table:
         t = pa.table(

@@ -555,6 +555,21 @@ def test_decontaminate_ngram_planted(ray_session, tmp_path):
     expect_source = "sA" if leak_dst % 2 == 0 else "sB"
     assert out["source"].tolist() == [expect_source]
     assert out["contaminated_docs"].tolist() == [1]
+    # sharded-Bloom extreme-scale path: one filter per key % shards,
+    # built through the keyed merge tree — output must be identical
+    sharded = decontaminate_ngram(str(tmp_path), shards=4).to_pandas()
+    assert sharded.equals(out)
+
+
+def test_decontaminate_sharded_equals_single(ray_session):
+    """The sharded-Bloom path is bit-identical to the single-filter
+    path on the real corpus (the exact verify join strips each
+    shard's false positives the same way)."""
+    from parallel_count_min_sketch_ray.pipelines import textpipe
+
+    single = textpipe.decontaminate_ngram(SF_UNIT).to_pandas()
+    sharded = textpipe.decontaminate_ngram(SF_UNIT, shards=8).to_pandas()
+    assert sharded.equals(single)
 
 
 def test_simhash_signatures_vectorized_equals_loop():

@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sketch estimates (deterministic, rows-only) ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
         "countsketch_word_estimates": sketch_queries.countsketch_word_estimates,
+        "source_token_divergence": sketch_queries.source_token_divergence,
         "hll_distinct_words": sketch_queries.hll_distinct_words,
         "kll_ntok_quantiles": sketch_queries.kll_ntok_quantiles,
         "tdigest_value_quantiles": sketch_queries.tdigest_value_quantiles,

@@ -538,6 +538,51 @@ def source_shingle_overlap(
     )
 
 
+def source_token_divergence(
+    sf_dir: str, src_a: str = "src0", src_b: str = "src1"
+) -> pd.DataFrame:
+    """Token-frequency DIVERGENCE between two sources via Count-Sketch
+    linearity (:meth:`..state.countsketch.CountSketch.subtract`): the
+    per-source sketches come out of ONE keyed merge-tree pass, then
+    ``csk_a - csk_b`` sketches the difference vector ``f_A - f_B``
+    directly — per-word signed count differences (unbiased) and the
+    AMS estimate of ``||f_A - f_B||^2``, the squared L2 distance
+    between the sources' token distributions.
+
+    This is the sketch the CMS family cannot express (min-of-rows has
+    no subtraction); the exact counterparts (per-word diffs, Σ(ca-cb)²)
+    are SQL-expressible and pytest-asserts the estimates' envelopes
+    (rows-only driver check: the output IS the estimate)."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        build_sketches_by_key,
+    )
+    from parallel_count_min_sketch_ray.state.countsketch import CountSketch
+
+    ds = tokenized_documents(sf_dir)
+    grouped = build_sketches_by_key(
+        ds,
+        "source",
+        [SketchSpec("csk", CountSketch(width=8192, depth=7, seed=SEED), "tokens",
+                    kind="list")],
+    )
+    if src_a not in grouped or src_b not in grouped:
+        raise ValueError(f"sources {src_a!r}/{src_b!r} not present in corpus")
+    diff = grouped[src_a]["csk"]
+    n_a, n_b = diff.total, grouped[src_b]["csk"].total
+    diff.subtract(grouped[src_b]["csk"])
+    ids = np.array([djb2(w) & 0x7FFFFFFF for w in PROBE_WORDS], dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "word": PROBE_WORDS,
+            "count_diff_estimate": diff.query(ids),
+            "l2_distance_sq": np.int64(diff.estimate_f2()),
+            "error_bound": np.float64(round(diff.error_bound(), 2)),
+            "n_tokens_a": np.int64(n_a),
+            "n_tokens_b": np.int64(n_b),
+        }
+    )
+
+
 def countsketch_word_estimates(sf_dir: str) -> pd.DataFrame:
     """Unbiased signed point estimates + AMS F2 over the token stream
     (:mod:`..state.countsketch` — the Count-Sketch sibling the

@@ -219,6 +219,22 @@ class CountSketch:
         self.total += other.total
         return self
 
+    def subtract(self, other: "CountSketch") -> "CountSketch":
+        """Signed DIFFERENCE — the linearity the CMS cannot offer.
+
+        Count-Sketch is a linear map of the frequency vector, so
+        ``A.subtract(B)`` sketches ``f_A - f_B`` exactly as if the
+        difference stream had been fed directly: point queries estimate
+        per-item count differences (unbiased) and ``estimate_f2()``
+        estimates ``||f_A - f_B||^2`` — the squared L2 distance between
+        the two streams (the AMS distance estimator).  ``total``
+        becomes the signed count difference.
+        """
+        base.check_compatible(self, other, self._IDENTITY + ("a", "b", "sa", "sb"))
+        self.table -= other.table
+        self.total -= other.total
+        return self
+
     # ---- serde -----------------------------------------------------------
 
     def to_bytes(self) -> bytes:

@@ -264,6 +264,44 @@ def test_embedding_principal_directions_vs_exact_svd(ray_session, con):
     assert float(df["spectral_error_bound"].iloc[0]) == round(fro2 / 64, 6)
 
 
+def test_source_token_divergence_vs_exact(ray_session, con):
+    """The Count-Sketch difference's per-word estimates and AMS L2
+    distance track the exact SQL counterparts within the published
+    envelopes (sqrt(3*F2/w) additive for points; generous relative for
+    the distance)."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        PROBE_WORDS,
+        source_token_divergence,
+    )
+
+    df = source_token_divergence(SF_UNIT)
+    ex = con.sql(
+        """
+        WITH toks AS (
+          SELECT source,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+          FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        cnts AS (
+          SELECT token,
+                 count(*) FILTER (WHERE source = 'src0') AS ca,
+                 count(*) FILTER (WHERE source = 'src1') AS cb
+          FROM toks GROUP BY token
+        )
+        SELECT token, ca - cb AS diff FROM cnts
+        """
+    ).df()
+    true_diff = dict(zip(ex["token"], ex["diff"]))
+    f2_true = int((ex["diff"].to_numpy(dtype=np.int64) ** 2).sum())
+    bound = np.sqrt(3.0 * f2_true / 8192)
+    for _, row in df.iterrows():
+        truth = int(true_diff.get(row["word"], 0))
+        assert abs(int(row["count_diff_estimate"]) - truth) <= bound + 1, row["word"]
+    assert abs(int(df["l2_distance_sq"].iloc[0]) - f2_true) <= max(
+        0.25 * f2_true, 3.0 * f2_true / np.sqrt(8192) + 1
+    )
+
+
 def test_type_value_quantiles_grouped_tdigest(ray_session, con):
     from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
         type_value_quantiles,

@@ -883,3 +883,44 @@ def test_fd_weighted_serde_and_guards():
     empty.merge(rt)
     assert empty.dim == 3 and empty.n == 5
     assert "FrequentDirections" in fd.describe()
+
+
+def test_countsketch_subtract_is_linear_and_estimates_distance():
+    """Linearity: A.subtract(B) must be BIT-IDENTICAL to a sketch fed
+    the signed difference stream, its point estimates track per-item
+    count diffs, and estimate_f2 tracks ||f_A - f_B||^2 (the AMS
+    distance estimator) within the published envelopes."""
+    from parallel_count_min_sketch_ray.state.countsketch import CountSketch
+
+    rng = np.random.default_rng(13)
+    zipf_a = rng.zipf(1.4, 120_000) % 5000
+    zipf_b = rng.zipf(1.4, 100_000) % 5000
+    a = CountSketch(width=4096, depth=7, seed=1)
+    b = a.empty_like()
+    a.update(zipf_a)
+    b.update(zipf_b)
+    a.subtract(b)
+    # bit-identity vs feeding +A and -B into one sketch
+    direct = CountSketch(width=4096, depth=7, seed=1)
+    direct.update(zipf_a)
+    items_b, cnts_b = np.unique(zipf_b, return_counts=True)
+    # negative counts are rejected by update() by design: emulate the
+    # difference stream through subtract of a positively-fed sketch
+    negb = direct.empty_like()
+    negb.update(items_b, cnts_b)
+    direct.subtract(negb)
+    assert np.array_equal(a.table, direct.table)
+    assert a.total == zipf_a.size - zipf_b.size
+    # point estimates: within sqrt(3*F2_diff/w) of the true diff
+    ca = np.bincount(zipf_a, minlength=5000).astype(np.int64)
+    cb = np.bincount(zipf_b, minlength=5000).astype(np.int64)
+    true_diff = ca - cb
+    f2_true = int((true_diff.astype(object) ** 2).sum())
+    bound = np.sqrt(3.0 * f2_true / 4096)
+    probes = np.array([0, 1, 2, 10, 100, 999, 4999], dtype=np.int64)
+    est = a.query(probes)
+    assert (np.abs(est - true_diff[probes]) <= bound + 1).all()
+    # AMS distance estimate: generous 4/sqrt(w)-ish relative envelope
+    assert abs(a.estimate_f2() - f2_true) <= 0.15 * f2_true
+    with pytest.raises(ValueError):
+        a.subtract(CountSketch(width=4096, depth=7, seed=2))

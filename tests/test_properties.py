@@ -259,3 +259,67 @@ def test_scan_block_decomposition_matches_sequential(data, cuts):
     )
     # coordination bound: the exchange is ≤ 2 rows per block
     assert len(edge_rows) <= 2 * len(blocks)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+        max_size=300,
+    ),
+    cut=st.integers(min_value=0, max_value=300),
+)
+def test_ddsketch_split_merge_bit_exact_and_quantile_envelope(vals, cut):
+    """For ANY value stream and split point: sketch(A) ⊕ sketch(B) is
+    bit-identical to sketch(A++B) (uncollapsed integer histogram), and
+    every quantile is within alpha relative error of an actual
+    element."""
+    from parallel_count_min_sketch_ray.state.ddsketch import DDSketch
+
+    cut = min(cut, len(vals))
+    arr = np.array(vals, dtype=np.float64)
+    whole = DDSketch(alpha=0.02)
+    whole.update(arr)
+    a, b = whole.empty_like(), whole.empty_like()
+    a.update(arr[:cut])
+    b.update(arr[cut:])
+    assert a.merge(b).to_bytes() == whole.to_bytes()
+    if arr.size:
+        assert not whole.collapsed()
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+            exact = np.quantile(arr, q, method="lower")
+            est = whole.quantile(q)
+            assert abs(est - exact) <= 0.02 * abs(exact) + 1e-12, (q, est, exact)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.data(),
+    n=st.integers(min_value=0, max_value=120),
+    d=st.integers(min_value=1, max_value=12),
+    cut=st.integers(min_value=0, max_value=120),
+)
+def test_fd_split_merge_preserves_covariance_bound(data, n, d, cut):
+    """For ANY row matrix and split point, both the whole-stream sketch
+    and the merged-halves sketch satisfy ||A'A - B'B||_2 <= ||A||_F^2/ell
+    with exact n and Frobenius mass."""
+    from parallel_count_min_sketch_ray.state.fd import FrequentDirections
+
+    seed = data.draw(st.integers(min_value=0, max_value=2**31))
+    rng = np.random.default_rng(seed)
+    A = rng.normal(scale=10.0, size=(n, d))
+    cut = min(cut, n)
+    whole = FrequentDirections(ell=8)
+    whole.update(A)
+    a, b = whole.empty_like(), whole.empty_like()
+    a.update(A[:cut])
+    b.update(A[cut:])
+    merged = a.merge(b)
+    exact = A.T @ A
+    for sk in (whole, merged):
+        assert sk.n == n
+        if n:
+            err = np.linalg.norm(exact - sk.covariance(), 2)
+            assert err <= sk.error_bound() + 1e-6 * sk.fro2 + 1e-9

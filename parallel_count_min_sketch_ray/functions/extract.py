@@ -46,17 +46,22 @@ def matrix_column(batch, column: str) -> np.ndarray:
     """2-D float64 (rows × dim) view of a fixed-width list<float>
     column — the embedding-matrix shape for matrix sketches
     (:mod:`..state.fd`).  Vectorized reshape off the flat child
-    buffer; raises if row widths are ragged."""
+    buffer; raises on nulls or ragged row widths (a divisibility
+    check alone would silently shear rows across boundaries when
+    dropped/short rows happen to keep the total divisible)."""
     col = _as_arrow_column(batch, column)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     if n == 0:
-        return flat.reshape(0, 0)
-    if flat.size % n:
+        return np.zeros((0, 0))
+    if col.null_count:
+        raise ValueError(f"list column {column!r} has nulls: not a matrix")
+    lens = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+    if lens.min() != lens.max():
         raise ValueError(f"ragged list column {column!r}: not a matrix")
-    return flat.reshape(n, flat.size // n)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, int(lens[0]))
 
 
 def hashed_string_column(batch, column: str) -> np.ndarray:

@@ -674,11 +674,14 @@ def embedding_principal_directions(
     )
     fd = rep["fd"]
     s, _ = fd.top_directions(k)
+    # an all-zero corpus has fro2 == 0 with zero singular values:
+    # energy fractions are 0, not 0/0
+    energy = s**2 / fd.fro2 if fd.fro2 > 0 else np.zeros_like(s)
     return pd.DataFrame(
         {
             "rank": np.arange(1, s.size + 1, dtype=np.int64),
             "singular_value": np.round(s, 6),
-            "energy_fraction": np.round(s**2 / fd.fro2, 8),
+            "energy_fraction": np.round(energy, 8),
             "n_rows": np.int64(fd.n),
             "spectral_error_bound": np.float64(round(fd.error_bound(), 6)),
         }

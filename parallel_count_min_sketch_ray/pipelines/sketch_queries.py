@@ -571,12 +571,15 @@ def source_token_divergence(
     n_a, n_b = diff.total, grouped[src_b]["csk"].total
     diff.subtract(grouped[src_b]["csk"])
     ids = np.array([djb2(w) & 0x7FFFFFFF for w in PROBE_WORDS], dtype=np.int64)
+    # one AMS pass: error_bound() would recompute the (object-int)
+    # per-row F2 dots — derive the radius from the same estimate
+    f2 = int(diff.estimate_f2())
     return pd.DataFrame(
         {
             "word": PROBE_WORDS,
             "count_diff_estimate": diff.query(ids),
-            "l2_distance_sq": np.int64(diff.estimate_f2()),
-            "error_bound": np.float64(round(diff.error_bound(), 2)),
+            "l2_distance_sq": np.int64(f2),
+            "error_bound": np.float64(round(np.sqrt(3.0 * max(f2, 0) / diff.width), 2)),
             "n_tokens_a": np.int64(n_a),
             "n_tokens_b": np.int64(n_b),
         }
@@ -596,12 +599,13 @@ def countsketch_word_estimates(sf_dir: str) -> pd.DataFrame:
     not its own scan."""
     sk = build_all(sf_dir)["csk"]
     ids = np.array([djb2(w) & 0x7FFFFFFF for w in PROBE_WORDS], dtype=np.int64)
+    f2 = int(sk.estimate_f2())  # one AMS pass (error_bound would redo it)
     return pd.DataFrame(
         {
             "word": PROBE_WORDS,
             "estimate": sk.query(ids),
-            "f2_estimate": np.int64(sk.estimate_f2()),
-            "error_bound": np.float64(round(sk.error_bound(), 2)),
+            "f2_estimate": np.int64(f2),
+            "error_bound": np.float64(round(np.sqrt(3.0 * max(f2, 0) / sk.width), 2)),
             "total_tokens": np.int64(sk.total),
         }
     )

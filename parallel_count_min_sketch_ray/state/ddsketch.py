@@ -41,20 +41,27 @@ import numpy as np
 from parallel_count_min_sketch_ray.state import base
 
 
-def _accumulate(
-    keys_a: np.ndarray, cnts_a: np.ndarray, keys_b: np.ndarray, cnts_b: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
-    """Merge two sparse (sorted-key, count) stores by key-wise sum."""
-    if keys_a.size == 0:
-        return keys_b, cnts_b
-    if keys_b.size == 0:
-        return keys_a, cnts_a
-    keys = np.concatenate([keys_a, keys_b])
-    cnts = np.concatenate([cnts_a, cnts_b])
+def _dedupe(keys: np.ndarray, cnts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sort keys and sum counts of duplicates (sparse-store canonical form)."""
     uk, inv = np.unique(keys, return_inverse=True)
     summed = np.zeros(uk.size, dtype=np.int64)
     np.add.at(summed, inv, cnts)
     return uk, summed
+
+
+def _accumulate(
+    keys_a: np.ndarray, cnts_a: np.ndarray, keys_b: np.ndarray, cnts_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two canonical (sorted unique keys, counts) stores by
+    key-wise sum.  Inputs must already be deduped (all callers hold
+    that invariant; the early returns rely on it)."""
+    if keys_a.size == 0:
+        return keys_b, cnts_b
+    if keys_b.size == 0:
+        return keys_a, cnts_a
+    return _dedupe(
+        np.concatenate([keys_a, keys_b]), np.concatenate([cnts_a, cnts_b])
+    )
 
 
 @base.register_sketch
@@ -112,16 +119,27 @@ class DDSketch:
         newf = int(keys[0])
         setattr(self, floor_attr, newf if prev is None else max(prev, newf))
 
+    def _clamp_to_floor(self, which: str) -> None:
+        """Re-fold a store's own sub-floor keys into the floor bucket
+        (needed when a merge RAISES this sketch's floor: without it,
+        A.merge(B) and B.merge(A) would keep different sub-floor
+        layouts and post-collapse merge would not commute)."""
+        floor = getattr(self, "_" + which + "_floor")
+        keys = getattr(self, which + "_keys")
+        if floor is None or keys.size == 0 or keys[0] >= floor:
+            return
+        uk, summed = _dedupe(
+            np.maximum(keys, floor), getattr(self, which + "_cnts")
+        )
+        setattr(self, which + "_keys", uk)
+        setattr(self, which + "_cnts", summed)
+
     def _fold(self, which: str, keys: np.ndarray, cnts: np.ndarray) -> None:
         """Add (key, count) pairs into one store; clamp below any
         established collapse floor so merge stays associative."""
         floor = getattr(self, "_" + which + "_floor")
         if floor is not None:
-            keys = np.maximum(keys, floor)
-            uk, inv = np.unique(keys, return_inverse=True)
-            summed = np.zeros(uk.size, dtype=np.int64)
-            np.add.at(summed, inv, cnts)
-            keys, cnts = uk, summed
+            keys, cnts = _dedupe(np.maximum(keys, floor), cnts)
         mk, mc = _accumulate(
             getattr(self, which + "_keys"), getattr(self, which + "_cnts"), keys, cnts
         )
@@ -146,32 +164,35 @@ class DDSketch:
                 return
         if not np.all(np.isfinite(items)):
             raise ValueError("DDSketch requires finite values")
+        mags = np.abs(items[items != 0.0])
+        if mags.size and (mags.min() < 1e-300 or mags.max() > 1e300):
+            # beyond this range gamma**key overflows/underflows float64
+            # and the representative would silently violate the alpha
+            # guarantee (inf or 0.0 estimates) — reject, don't corrupt
+            raise ValueError(
+                "DDSketch supports nonzero magnitudes in [1e-300, 1e300]"
+            )
         self.n += int(w.sum())
         zm = items == 0.0
         if zm.any():
             self.zero_count += int(w[zm].sum())
         pm = items > 0.0
         if pm.any():
-            keys = self._bucket_keys(items[pm])
-            uk, inv = np.unique(keys, return_inverse=True)
-            summed = np.zeros(uk.size, dtype=np.int64)
-            np.add.at(summed, inv, w[pm])
-            self._fold("pos", uk, summed)
+            self._fold("pos", *_dedupe(self._bucket_keys(items[pm]), w[pm]))
         nm = items < 0.0
         if nm.any():
-            keys = self._bucket_keys(-items[nm])
-            uk, inv = np.unique(keys, return_inverse=True)
-            summed = np.zeros(uk.size, dtype=np.int64)
-            np.add.at(summed, inv, w[nm])
-            self._fold("neg", uk, summed)
+            self._fold("neg", *_dedupe(self._bucket_keys(-items[nm]), w[nm]))
 
     def merge(self, other: "DDSketch") -> "DDSketch":
         base.check_compatible(self, other, self._IDENTITY)
-        # adopt the max collapse floor first so both stores clamp alike
-        for attr in ("_pos_floor", "_neg_floor"):
+        # adopt the max collapse floor, then clamp OUR OWN sub-floor
+        # keys to it too — so operand order cannot leave different
+        # sub-floor layouts (merge commutes even after a collapse)
+        for attr, which in (("_pos_floor", "pos"), ("_neg_floor", "neg")):
             a, b = getattr(self, attr), getattr(other, attr)
             if b is not None:
                 setattr(self, attr, b if a is None else max(a, b))
+                self._clamp_to_floor(which)
         if other.pos_keys.size:
             self._fold("pos", other.pos_keys, other.pos_cnts)
         if other.neg_keys.size:

@@ -90,6 +90,13 @@ class FrequentDirections:
             raise ValueError("FrequentDirections expects a 2-D row batch")
         if rows.shape[0] == 0:
             return
+        # validate EVERYTHING before mutating any state: a raising
+        # update must leave the sketch exactly as it was (n consistent
+        # with fro2/B), so callers that catch and continue stay sound
+        if not np.all(np.isfinite(rows)):
+            raise ValueError("FrequentDirections requires finite embeddings")
+        if self.dim is not None and rows.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: got {rows.shape[1]}, have {self.dim}")
         if counts is not None:
             w = base.check_counts(counts)
             pos = w > 0
@@ -101,13 +108,9 @@ class FrequentDirections:
             self.n += int(w.sum())
         else:
             self.n += rows.shape[0]
-        if not np.all(np.isfinite(rows)):
-            raise ValueError("FrequentDirections requires finite embeddings")
         if self.dim is None:
             self.dim = rows.shape[1]
             self._B = np.zeros((0, self.dim))
-        elif rows.shape[1] != self.dim:
-            raise ValueError(f"dim mismatch: got {rows.shape[1]}, have {self.dim}")
         self.fro2 += float((rows * rows).sum())
         self._buf.append(rows)
         self._buf_rows += rows.shape[0]
@@ -115,7 +118,14 @@ class FrequentDirections:
             self._shrink()
 
     def merge(self, other: "FrequentDirections") -> "FrequentDirections":
-        # dim may still be None on an empty side; reconcile before check
+        # ell identity is checked UNCONDITIONALLY (an empty other must
+        # not smuggle a mismatched proto through the merge tree); dim
+        # may still be None on an empty side — reconcile, then check
+        if type(other) is not type(self) or self.ell != other.ell:
+            raise ValueError(
+                f"incompatible FrequentDirections merge: ell {self.ell} vs "
+                f"{getattr(other, 'ell', None)!r}"
+            )
         if self.dim is None:
             self.dim = other.dim
             self._B = None if other.dim is None else np.zeros((0, other.dim))

@@ -264,8 +264,10 @@ def test_scan_block_decomposition_matches_sequential(data, cuts):
 @settings(max_examples=40, deadline=None)
 @given(
     vals=st.lists(
-        st.floats(
-            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        st.one_of(  # zero or magnitudes in DDSketch's supported range
+            st.just(0.0),
+            st.floats(min_value=1e-9, max_value=1e9),
+            st.floats(min_value=-1e9, max_value=-1e-9),
         ),
         max_size=300,
     ),

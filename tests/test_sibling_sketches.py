@@ -924,3 +924,63 @@ def test_countsketch_subtract_is_linear_and_estimates_distance():
     assert abs(a.estimate_f2() - f2_true) <= 0.15 * f2_true
     with pytest.raises(ValueError):
         a.subtract(CountSketch(width=4096, depth=7, seed=2))
+
+
+def test_ddsketch_collapsed_merge_commutes_and_range_guard():
+    """Post-collapse merges commute (the adopted floor re-clamps BOTH
+    operands' sub-floor keys), and out-of-range magnitudes are rejected
+    rather than silently returning inf/0 representatives."""
+    from parallel_count_min_sketch_ray.state.ddsketch import DDSketch
+
+    rng = np.random.default_rng(21)
+    wide = 10.0 ** rng.uniform(-30, 30, 30_000)
+    low = 10.0 ** rng.uniform(-40, -20, 5_000)  # all below A's floor
+    a = DDSketch(alpha=0.01, max_bins=256)
+    a.update(wide)
+    assert a.collapsed()
+    b = DDSketch(alpha=0.01, max_bins=256)
+    b.update(low)
+    ab = DDSketch.from_bytes(a.to_bytes()).merge(DDSketch.from_bytes(b.to_bytes()))
+    ba = DDSketch.from_bytes(b.to_bytes()).merge(DDSketch.from_bytes(a.to_bytes()))
+    assert ab.to_bytes() == ba.to_bytes()
+    assert ab.n == 35_000
+    with pytest.raises(ValueError):
+        DDSketch().update(np.array([1e301]))
+    with pytest.raises(ValueError):
+        DDSketch().update(np.array([5e-324]))
+    DDSketch().update(np.array([0.0, 1e300, -1e-300]))  # boundary values OK
+
+
+def test_fd_update_validates_before_mutating_and_checks_ell_on_empty():
+    """A raising update leaves n/fro2/B untouched; an EMPTY sketch with
+    a mismatched ell is still rejected by merge."""
+    from parallel_count_min_sketch_ray.state.fd import FrequentDirections
+
+    fd = FrequentDirections(ell=8)
+    fd.update(np.ones((3, 4)))
+    n0, f0 = fd.n, fd.fro2
+    for bad in (np.ones((2, 5)), np.array([[np.nan, 0, 0, 0]])):
+        with pytest.raises(ValueError):
+            fd.update(bad)
+        assert fd.n == n0 and fd.fro2 == f0
+    with pytest.raises(ValueError):
+        fd.merge(FrequentDirections(ell=9))  # empty other, wrong ell
+
+
+def test_matrix_column_rejects_nulls_and_raggedness():
+    """Divisible-but-ragged and null rows must raise, not shear rows
+    across boundaries."""
+    import pyarrow as pa
+
+    from parallel_count_min_sketch_ray.functions.extract import matrix_column
+
+    ok = pa.table({"e": pa.array([[1.0, 2.0], [3.0, 4.0]])})
+    out = matrix_column(ok, "e")
+    assert out.shape == (2, 2) and out[1, 0] == 3.0
+    ragged = pa.table({"e": pa.array([[1.0, 2.0, 3.0], [4.0]])})  # 4 % 2 == 0
+    with pytest.raises(ValueError):
+        matrix_column(ragged, "e")
+    nulls = pa.table({"e": pa.array([[1.0, 2.0], None, [3.0, 4.0]],
+                                    pa.list_(pa.float64()))})
+    with pytest.raises(ValueError):
+        matrix_column(nulls, "e")

@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """
     return {
         # --- SQL-checked, no driver CORRECTNESS row yet (r3 gap #1) ---
+        "events_moving_avg": analytics.events_moving_avg,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
         "lang_quality": textpipe.lang_quality,
@@ -326,6 +327,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         # running-total window through the distributed scan; integer
         # cents inside, one final divide — doubles match bit-for-bit
+        # bounded sliding frame (ROWS BETWEEN k PRECEDING): integer-cent
+        # frame sums, single double division — bit-matches the Ray side
+        "events_moving_avg": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) "
+            "/ (100.0 * COUNT(*) OVER w) AS moving_avg "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        ),
         "customer_running_spend": (
             "SELECT o_custkey, o_orderkey, "
             "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("

@@ -1131,6 +1131,64 @@ def events_lag(sf_dir: str):
     )
 
 
+def events_moving_avg(sf_dir: str, k: int = 3):
+    """Per-user BOUNDED-frame window: moving average of ``value`` over
+    ``ROWS BETWEEN k PRECEDING AND CURRENT ROW`` (ordered by ts,
+    event_id) — the sliding-frame sibling of the unbounded running
+    windows (``customer_running_spend``) and of ``events_lag``.
+
+    Same partitioning as events_lag: coarse user-bucket shuffle, one
+    vectorized pass per bucket (user-major lexsort, zero per-user
+    Python).  The frame sums run as integer cents through a cumsum
+    with a leading zero — ``sum_i = c[i+1] - c[i+1-n_i]`` where the
+    frame length ``n_i = min(pos_in_user, k) + 1`` never crosses a
+    user boundary — so the only float ops are the single
+    ``CAST(sum AS DOUBLE) / (100.0 * n)`` the oracle also performs
+    (doubles bit-match)."""
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        num_shuffle_buckets,
+    )
+
+    n_buckets = num_shuffle_buckets()
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        bucket = batch["user_id"].to_numpy(zero_copy_only=False) % np.int64(n_buckets)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def moving(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        cents = _cents(g["value"].to_numpy())
+        order = np.lexsort((eid, ts, user))
+        user_s, eid_s, cents_s = user[order], eid[order], cents[order]
+        n = user_s.size
+        if n == 0:
+            return pd.DataFrame(
+                {"event_id": eid_s, "user_id": user_s,
+                 "moving_avg": np.zeros(0, np.float64)}
+            )
+        # position within the user's run (user-major sort → runs are
+        # contiguous): seq = index - start_of_run
+        new_run = np.r_[True, user_s[1:] != user_s[:-1]]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        seq = np.arange(n) - run_start
+        win_n = np.minimum(seq, k) + 1
+        c = np.concatenate([[0], np.cumsum(cents_s)])  # exact int64
+        sums = c[np.arange(1, n + 1)] - c[np.arange(1, n + 1) - win_n]
+        avg = sums.astype(np.float64) / (100.0 * win_n)
+        return pd.DataFrame(
+            {"event_id": eid_s, "user_id": user_s, "moving_avg": avg}
+        )
+
+    return (
+        read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(moving, batch_format="pandas")
+    )
+
+
 def _pick_types(left_type: str, right_type: str, num_buckets: int | None):
     """Filter to the two participating event types and add the coarse
     shuffle key ``user_id % num_buckets`` — FEW large groups instead of

@@ -67,6 +67,7 @@ def _to_pandas(res):
         "events_value_hour_corr",
         "pack_contexts",
         "customer_running_spend",
+        "events_moving_avg",
         "events_user_seq",
         "daily_retention",
         "source_distinct_exact",

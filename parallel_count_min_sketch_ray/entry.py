@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- SQL-checked, no driver CORRECTNESS row yet (r3 gap #1) ---
         "events_moving_avg": analytics.events_moving_avg,
+        "events_time_window_sum": analytics.events_time_window_sum,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
         "lang_quality": textpipe.lang_quality,
@@ -336,6 +337,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        ),
+        # time-RANGE frame: all rows with ts in [ts_i - 1h, ts_i],
+        # including same-ts peers (RANGE semantics, ORDER BY ts only)
+        "events_time_window_sum": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) "
+            "/ 100.0 AS window_sum "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)"
         ),
         "customer_running_spend": (
             "SELECT o_custkey, o_orderkey, "

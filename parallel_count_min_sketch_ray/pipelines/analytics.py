@@ -1189,6 +1189,95 @@ def events_moving_avg(sf_dir: str, k: int = 3):
     )
 
 
+def _range_frame_sums(
+    user_s: np.ndarray, ts_s: np.ndarray, cents_s: np.ndarray, win_us: np.int64
+) -> np.ndarray:
+    """Exact integer frame sums for RANGE BETWEEN win PRECEDING AND
+    CURRENT ROW over a user-major, ts-sorted run layout.
+
+    Banded offset: shift each user run into its own disjoint time band
+    so ONE pair of global searchsorteds resolves every row's
+    [left, right) frame — no per-user Python.  Falls back to a per-run
+    loop only if run_count x band would overflow int64 (pathological
+    span x cardinality)."""
+    n = user_s.size
+    new_run = np.r_[True, user_s[1:] != user_s[:-1]]
+    c = np.concatenate([[0], np.cumsum(cents_s)])
+    run_id = np.cumsum(new_run) - 1
+    ts_rel = ts_s - ts_s.min()
+    band = np.int64(int(ts_rel.max()) + int(win_us) + 1)
+    if int(run_id[-1] + 1) * int(band) < (1 << 62):
+        ts_adj = run_id * band + ts_rel  # strictly run-major sorted
+        left = np.searchsorted(ts_adj, ts_adj - win_us, side="left")
+        right = np.searchsorted(ts_adj, ts_adj, side="right")  # incl. peers
+        return c[right] - c[left]
+    sums = np.empty(n, dtype=np.int64)
+    starts = np.flatnonzero(new_run).tolist() + [n]
+    for i in range(len(starts) - 1):
+        s, e = starts[i], starts[i + 1]
+        t = ts_s[s:e]
+        lo = s + np.searchsorted(t, t - win_us, side="left")
+        hi = s + np.searchsorted(t, t, side="right")
+        sums[s:e] = c[hi] - c[lo]
+    return sums
+
+
+def events_time_window_sum(sf_dir: str, window_sec: int = 3600):
+    """Per-user TIME-RANGE window: sum of ``value`` over
+    ``RANGE BETWEEN INTERVAL window PRECEDING AND CURRENT ROW``
+    (ordered by ts) — the third frame type after unbounded ROWS
+    (``customer_running_spend``) and bounded ROWS
+    (``events_moving_avg``).  RANGE semantics: the frame holds ALL
+    rows whose ts falls in ``[ts_i - window, ts_i]``, including
+    same-timestamp peers sorted after the current row.
+
+    Per bucket: user-major ts sort, then two vectorized searchsorteds
+    per user run give each row's frame as a [left, right) slice of the
+    run — frame sums are integer cents via leading-zero-cumsum diffs
+    (exact), and the single divide-by-100 bit-matches the oracle."""
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        num_shuffle_buckets,
+    )
+
+    n_buckets = num_shuffle_buckets()
+    win_us = np.int64(window_sec) * 1_000_000
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        bucket = batch["user_id"].to_numpy(zero_copy_only=False) % np.int64(n_buckets)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def window_sum(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()  # epoch microseconds
+        eid = g["event_id"].to_numpy()
+        cents = _cents(g["value"].to_numpy())
+        order = np.lexsort((eid, ts, user))
+        user_s, ts_s, eid_s, cents_s = (
+            user[order], ts[order], eid[order], cents[order]
+        )
+        n = user_s.size
+        if n == 0:
+            return pd.DataFrame(
+                {"event_id": eid_s, "user_id": user_s,
+                 "window_sum": np.zeros(0, np.float64)}
+            )
+        sums = _range_frame_sums(user_s, ts_s, cents_s, win_us)
+        return pd.DataFrame(
+            {
+                "event_id": eid_s,
+                "user_id": user_s,
+                "window_sum": sums.astype(np.float64) / 100.0,
+            }
+        )
+
+    return (
+        read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window_sum, batch_format="pandas")
+    )
+
+
 def _pick_types(left_type: str, right_type: str, num_buckets: int | None):
     """Filter to the two participating event types and add the coarse
     shuffle key ``user_id % num_buckets`` — FEW large groups instead of

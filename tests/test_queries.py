@@ -68,6 +68,7 @@ def _to_pandas(res):
         "pack_contexts",
         "customer_running_spend",
         "events_moving_avg",
+        "events_time_window_sum",
         "events_user_seq",
         "daily_retention",
         "source_distinct_exact",

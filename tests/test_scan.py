@@ -187,3 +187,47 @@ def test_scan_pin_and_spool_paths_agree(ray_session):
         keyed_prefix_sum(
             ray.data.from_pandas(df), "part", "order", "val", "cum", via="bogus"
         )
+
+
+def test_range_frame_sums_banded_equals_per_run_loop():
+    """The banded-offset vectorized path and the per-run fallback are
+    the same function of the input (exercised by forcing a tiny win
+    so the overflow guard triggers on one of them via monkeypatched
+    threshold is brittle — instead compare against a brute-force O(n^2)
+    oracle, which pins BOTH paths)."""
+    import numpy as np
+
+    from parallel_count_min_sketch_ray.pipelines.analytics import _range_frame_sums
+
+    rng = np.random.default_rng(4)
+    n_users, n = 17, 800
+    user = np.sort(rng.integers(0, n_users, n))
+    ts = np.empty(n, dtype=np.int64)
+    # per-user sorted timestamps with deliberate TIES (RANGE peers)
+    for u in np.unique(user):
+        m = user == u
+        ts[m] = np.sort(rng.integers(0, 500, m.sum())) * 1_000_000
+    cents = rng.integers(-500, 500, n)
+    win = np.int64(60 * 1_000_000)
+    got = _range_frame_sums(user, ts, cents, win)
+    # brute force: all rows of the same user with ts in [t-w, t]
+    expect = np.array(
+        [
+            cents[(user == user[i]) & (ts >= ts[i] - win) & (ts <= ts[i])].sum()
+            for i in range(n)
+        ],
+        dtype=np.int64,
+    )
+    assert np.array_equal(got, expect)
+    # and the fallback loop agrees bit-for-bit (force it: huge run count
+    # emulation is impractical; call the internals via a tiny band by
+    # spoofing the guard through a large win that still fits int64)
+    # a 2^61 window makes band*runs overflow the guard -> the per-run
+    # fallback executes; frame = all user rows with ts <= ts_i (a
+    # running total including same-ts peers)
+    got2 = _range_frame_sums(user, ts, cents, np.int64(1 << 61))
+    expect2 = np.array(
+        [cents[(user == user[i]) & (ts <= ts[i])].sum() for i in range(n)],
+        dtype=np.int64,
+    )
+    assert np.array_equal(got2, expect2)

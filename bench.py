@@ -271,7 +271,10 @@ def main() -> None:
         # first AND written to BENCH/ for the repo's own records
         print(json.dumps(full))
         qfile = None
-        if queries:  # don't clobber the record from headline-only runs
+        # write the on-disk record only for FULL suites: a
+        # GRAFT_BENCH_QUERIES-filtered debug run must not clobber the
+        # committed last-full map with a partial one
+        if queries and not os.environ.get("GRAFT_BENCH_QUERIES"):
             try:
                 qfile = os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),

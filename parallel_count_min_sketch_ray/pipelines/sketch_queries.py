@@ -831,13 +831,11 @@ def bloom_semijoin_count(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey"],
         filter=_pc.field("o_orderpriority") == "1-URGENT",
-    )
+    ).materialize()  # ONE execution of the filtered scan feeds count +
+    # Bloom build + (small-side) exact key broadcast; the build side is
+    # a single pruned key column, so the pin is key-table-sized
     n_urgent = urgent.count()
     use_broadcast = n_urgent <= broadcast_threshold
-    if use_broadcast:
-        # small build side: one pinned execution feeds Bloom build +
-        # exact key broadcast (documented small-side materialize)
-        urgent = urgent.materialize()
     proto = BloomFilter(capacity=max(n_urgent, 1024), fp_rate=fp_rate, seed=SEED)
     bloom, _ = build_sketch(urgent, proto, "o_orderkey", kind="numeric")
     bloom_ref = _ray.put(bloom.to_bytes())

@@ -54,7 +54,9 @@ cents first (the repo-wide exact-money convention).
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
+import warnings
 
 import numpy as np
 import pyarrow as pa
@@ -62,6 +64,11 @@ import pyarrow as pa
 import ray
 
 _SPOOL_DIRS: list[str] = []
+# disk-bound: keep at most this many live spools; the oldest beyond it
+# is deleted (a not-yet-consumed Dataset over a deleted spool fails
+# LOUDLY with FileNotFoundError — consume scan results promptly, or
+# raise the cap via GRAFT_SCAN_SPOOL_KEEP)
+_SPOOL_KEEP = int(os.environ.get("GRAFT_SCAN_SPOOL_KEEP", "16"))
 
 
 @atexit.register
@@ -71,6 +78,18 @@ def _cleanup_spools() -> None:
     point that's guaranteed."""
     for d in _SPOOL_DIRS:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _register_spool(spool_dir: str) -> None:
+    _SPOOL_DIRS.append(spool_dir)
+    while len(_SPOOL_DIRS) > _SPOOL_KEEP:
+        old = _SPOOL_DIRS.pop(0)
+        warnings.warn(
+            f"scan spool cap ({_SPOOL_KEEP}) reached: deleting oldest "
+            f"spool {old} — any unconsumed Dataset over it will now "
+            "raise on read (GRAFT_SCAN_SPOOL_KEEP raises the cap)"
+        )
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _block_id(batch: pa.Table, part_col: str, order_cols: list[str]) -> str:
@@ -222,7 +241,13 @@ def keyed_prefix_sum(
     ``via="spool"`` (default) persists the sorted run to parquet and
     runs both passes over deterministic (file × row-group) partitions
     — no object-store pin; ``via="pin"`` keeps the materialize
-    spelling (see module docstring)."""
+    spelling (see module docstring).
+
+    The spool directory is driver-local by default, which is only
+    visible to every worker on a SINGLE-node cluster: on a multi-node
+    cluster the spool path falls back to ``via="pin"`` automatically
+    unless ``GRAFT_SCAN_SPOOL_DIR`` names a shared filesystem
+    (NFS/FUSE mount) every node can read."""
     if isinstance(order_cols, str):
         order_cols = [order_cols]
     value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
@@ -276,16 +301,39 @@ def keyed_prefix_sum(
 
     from parallel_count_min_sketch_ray.state.checkpoint import plan_partitions
 
-    spool_dir = tempfile.mkdtemp(prefix="pcmr-scan-spool-")
-    _SPOOL_DIRS.append(spool_dir)  # removed at process exit (lazy
-    # consumers may read the spool any time before then)
+    shared_base = os.environ.get("GRAFT_SCAN_SPOOL_DIR")
+    if ray.is_initialized() and shared_base is None:
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+        if len(alive) > 1:
+            # a driver-local /tmp spool is invisible to other nodes'
+            # write tasks AND readers — silent data loss; use the pin
+            # path (or point GRAFT_SCAN_SPOOL_DIR at a shared mount)
+            return keyed_prefix_sum(
+                ds, part_col, order_cols, value_cols, out_cols, via="pin"
+            )
+    spool_dir = tempfile.mkdtemp(prefix="pcmr-scan-spool-", dir=shared_base)
+    _register_spool(spool_dir)  # removed at process exit (lazy
+    # consumers may read the spool any time before then) or when the
+    # live-spool cap evicts it
     ds.sort([part_col, *order_cols]).write_parquet(spool_dir)
     paths = sorted(_glob.glob(f"{spool_dir}/*.parquet"))
     parts = plan_partitions(paths, spool_rows_per_partition)
-    if not parts:  # empty input: the spooled file still carries the schema
+    if not parts:  # empty input: preserve the INPUT schema + out cols
         import pyarrow.parquet as pq
 
-        empty = pq.read_table(paths[0]) if paths else pa.table({})
+        if paths:
+            empty = pq.read_table(paths[0])
+        else:  # write_parquet emitted nothing: derive from ds.schema()
+            sch = ds.schema()
+            fields = []
+            if sch is not None:
+                for nm, t in zip(sch.names, sch.types):
+                    if not isinstance(t, pa.DataType):
+                        dt = np.dtype(t)
+                        t = (pa.string() if dt.kind in "OUS"
+                             else pa.from_numpy_dtype(dt))
+                    fields.append((nm, t))
+            empty = pa.schema(fields).empty_table()
         for oc in out_cols:
             empty = empty.append_column(oc, pa.array([], pa.int64()))
         return _rd.from_arrow(empty)

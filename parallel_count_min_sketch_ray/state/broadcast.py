@@ -32,7 +32,10 @@ def sketch_from_ref(ref: "ray.ObjectRef") -> Any:
     sk = _REF_CACHE.get(key)
     if sk is None:
         sk = sketch_from_bytes(ray.get(ref))
-        if len(_REF_CACHE) >= _MAX_ENTRIES:
-            _REF_CACHE.clear()
+        while len(_REF_CACHE) >= _MAX_ENTRIES:
+            # evict ONE oldest entry (dict preserves insertion order) —
+            # clearing everything would make 9+ interleaved refs re-pay
+            # from_bytes per batch, the cost this cache exists to kill
+            _REF_CACHE.pop(next(iter(_REF_CACHE)))
         _REF_CACHE[key] = sk
     return sk

@@ -581,3 +581,76 @@ def test_scan_spool_dirs_registered_for_cleanup(ray_session):
     import os
 
     assert os.path.isdir(scan_mod._SPOOL_DIRS[-1])
+
+
+def test_broadcast_cache_evicts_one_not_all(ray_session):
+    """Past _MAX_ENTRIES the cache evicts the single OLDEST ref; the
+    hot remainder stays resident (a full clear would re-pay from_bytes
+    per batch whenever 9+ refs interleave)."""
+    import ray as _ray
+
+    from parallel_count_min_sketch_ray.state import broadcast as bc
+    from parallel_count_min_sketch_ray.state.hll import HyperLogLog
+
+    bc._REF_CACHE.clear()
+    refs = []
+    for i in range(bc._MAX_ENTRIES + 1):
+        h = HyperLogLog(p=10, seed=i)
+        h.update(np.arange(10))
+        refs.append(_ray.put(h.to_bytes()))
+    for r in refs:
+        bc.sketch_from_ref(r)
+    assert len(bc._REF_CACHE) == bc._MAX_ENTRIES
+    assert refs[0].hex() not in bc._REF_CACHE  # oldest evicted
+    assert refs[1].hex() in bc._REF_CACHE  # second-oldest survives
+    assert refs[-1].hex() in bc._REF_CACHE
+    bc._REF_CACHE.clear()
+
+
+def test_scan_spool_cap_evicts_oldest(ray_session, monkeypatch, tmp_path):
+    """Beyond GRAFT_SCAN_SPOOL_KEEP live spools the oldest directory is
+    deleted (with a warning) so long-lived processes stay disk-bounded."""
+    import os
+    import warnings as _warnings
+
+    from parallel_count_min_sketch_ray.stages import scan as scan_mod
+
+    monkeypatch.setattr(scan_mod, "_SPOOL_KEEP", 2)
+    dirs = []
+    for i in range(3):
+        d = tmp_path / f"spool{i}"
+        d.mkdir()
+        dirs.append(str(d))
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        for d in dirs:
+            scan_mod._register_spool(d)
+    assert not os.path.exists(dirs[0])  # oldest deleted
+    assert os.path.exists(dirs[1]) and os.path.exists(dirs[2])
+    assert any("spool cap" in str(x.message) for x in w)
+    for d in dirs[1:]:
+        scan_mod._SPOOL_DIRS.remove(d)
+
+
+def test_scan_spool_falls_back_to_pin_on_multinode(ray_session, monkeypatch):
+    """With >1 alive Ray node and no shared spool dir, the spool path
+    must not write to driver-local /tmp (invisible to other nodes) —
+    it reroutes to via='pin' and still returns exact sums."""
+    import ray as _ray
+    import ray.data as _rd
+
+    from parallel_count_min_sketch_ray.stages import scan as scan_mod
+
+    monkeypatch.setattr(
+        scan_mod.ray, "nodes",
+        lambda: [{"Alive": True}, {"Alive": True}],
+    )
+    made_spools = len(scan_mod._SPOOL_DIRS)
+    ds = _rd.from_items(
+        [{"k": i % 3, "o": i, "v": i} for i in range(30)]
+    )
+    out = scan_mod.keyed_prefix_sum(ds, "k", "o", "v", "cum").to_pandas()
+    assert len(scan_mod._SPOOL_DIRS) == made_spools  # no spool written
+    expect = out.sort_values(["k", "o"]).groupby("k")["v"].cumsum()
+    assert (out.sort_values(["k", "o"])["cum"].to_numpy()
+            == expect.to_numpy()).all()

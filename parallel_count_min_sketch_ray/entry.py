@@ -135,13 +135,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": analytics.events_sliding,
         "events_asof_join": analytics.events_asof_join,
         "events_range_join": analytics.events_range_join,
+        # ^ cap boundary (50 entries above): everything below has the
+        # strongest existing record (two green driver rows) or is
+        # rows-only
+        # --- SQL-checked, two driver green rows (r2+r3), past cap ---
         "events_props_stats": analytics.events_props_stats,
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_segment": analytics.orders_by_segment,
         "orders_by_region": analytics.orders_by_region,
-        # ^ cap boundary (50): everything below has the strongest
-        # existing record (two green driver rows) or is rows-only
-        # --- SQL-checked, two driver green rows (r2+r3), past cap ---
         "token_counts": analytics.token_counts,
         "token_totals": analytics.token_totals,
         "heavy_hitters": analytics.heavy_hitters,

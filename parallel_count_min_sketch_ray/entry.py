@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SQL-checked, no driver CORRECTNESS row yet (r3 gap #1) ---
         "events_moving_avg": analytics.events_moving_avg,
         "events_time_window_sum": analytics.events_time_window_sum,
+        "doc_perplexity": textpipe.doc_perplexity,
+        "bm25_topk": textpipe.bm25_topk,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
         "lang_quality": textpipe.lang_quality,
@@ -133,12 +135,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": textpipe.clean_corpus,
         "events_sessions": analytics.events_sessions,
         "events_sliding": analytics.events_sliding,
+        # ^ cap boundary (50 entries above): everything below has the
+        # strongest existing record (one or two green driver rows) or
+        # is rows-only
+        # --- SQL-checked, green driver row(s), past cap ---
         "events_asof_join": analytics.events_asof_join,
         "events_range_join": analytics.events_range_join,
-        # ^ cap boundary (50 entries above): everything below has the
-        # strongest existing record (two green driver rows) or is
-        # rows-only
-        # --- SQL-checked, two driver green rows (r2+r3), past cap ---
         "events_props_stats": analytics.events_props_stats,
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_segment": analytics.orders_by_segment,
@@ -219,6 +221,41 @@ _NGRAM_PAIRS_CTES = (
     "FROM s a JOIN s b ON a.doc_id < b.doc_id "
     "WHERE len(a.sh) = 0 AND len(b.sh) = 0)"
 )
+
+
+def _bm25_oracle(k: int = 10) -> str:
+    """BM25 oracle generated from the same query set / constants as
+    ``textpipe.bm25_topk`` (single source of truth for parity)."""
+    vals = ", ".join(
+        f"({qi}, '{q}', '{t}')"
+        for qi, q in enumerate(textpipe.BM25_QUERIES)
+        for t in q.split()
+    )
+    return (
+        "WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ws FROM documents), "
+        "stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl FROM ws), "
+        f"qterms(query_id, query, term) AS (VALUES {vals}), "
+        "dterm AS (SELECT DISTINCT term FROM qterms), "
+        "tf AS (SELECT w.doc_id, dt.term, "
+        "CAST(len(list_filter(w.ws, x -> x = dt.term)) AS BIGINT) AS tf, "
+        "CAST(len(w.ws) AS BIGINT) AS dl FROM ws w CROSS JOIN dterm dt), "
+        "dfs AS (SELECT term, CAST(COUNT(*) FILTER (WHERE tf > 0) AS BIGINT) "
+        "AS df FROM tf GROUP BY term), "
+        "scored AS (SELECT q.query_id, q.query, f.doc_id, "
+        "SUM(LN(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * f.tf * 2.2 / "
+        "(f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))) AS score "
+        "FROM tf f JOIN qterms q USING (term) JOIN dfs d USING (term) "
+        "CROSS JOIN stats s WHERE f.tf > 0 "
+        "GROUP BY q.query_id, q.query, f.doc_id) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, query, doc_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY ROUND(score, 6) DESC, doc_id) AS BIGINT) AS rnk, "
+        "ROUND(score, 6) AS score FROM scored "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY ROUND(score, 6) DESC, doc_id) <= {k}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -349,6 +386,29 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)"
         ),
+        # add-one-smoothed bigram-LM perplexity; logs are irrational so
+        # both sides ROUND(·,6) (sum-order jitter ~1e-13 vs 5e-7 slack)
+        "doc_perplexity": (
+            "WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS ws FROM documents), "
+            "bg AS (SELECT doc_id, "
+            "unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bigram, "
+            "unnest([ws[i] FOR i IN range(1, len(ws))]) AS tok_a FROM ws), "
+            "cab AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab "
+            "FROM bg GROUP BY bigram), "
+            "ucnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM (SELECT unnest(ws) AS token FROM ws) GROUP BY token), "
+            "v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ucnt), "
+            "per AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "SUM(LN(c.c_ab + 1) - LN(u.cnt + v.v)) AS lp "
+            "FROM bg b JOIN cab c USING (bigram) "
+            "JOIN ucnt u ON u.token = b.tok_a CROSS JOIN v GROUP BY b.doc_id) "
+            "SELECT doc_id, n_bigrams, ROUND(lp / n_bigrams, 6) AS avg_logprob, "
+            "ROUND(EXP(-(lp / n_bigrams)), 6) AS ppl FROM per"
+        ),
+        # BM25 with RSJ idf; ranking on (ROUND(score,6) DESC, doc_id)
+        # both sides so libm jitter cannot flip ranks
+        "bm25_topk": _bm25_oracle(),
         "customer_running_spend": (
             "SELECT o_custkey, o_orderkey, "
             "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("

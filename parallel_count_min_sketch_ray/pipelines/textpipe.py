@@ -692,3 +692,327 @@ def curate_corpus(
             Sum("n_tokens", alias_name="n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-perplexity quality scoring and BM25 retrieval — the two classic
+# lexical ops a curation pipeline runs after dedup (CCNet scores docs
+# with an LM; BM25 selects in-domain documents for a topic mixture).
+# ---------------------------------------------------------------------------
+
+
+def doc_perplexity(sf_dir: str):
+    """Per-document add-one-smoothed bigram-LM perplexity — the
+    LM-based quality filter of CCNet/C4-style curation (Wenzek et al.
+    2020 score with KenLM; here the LM is a bigram model trained on the
+    corpus itself in the same pipeline).
+
+    ``P(b|a) = (c(ab)+1) / (c(a)+V)``; ``ppl(doc) = exp(-mean log P)``
+    over the doc's bigram transitions.  Docs with <2 tokens have no
+    transitions and drop out (the SQL side drops them via the bigram
+    join).
+
+    Fully distributed, nothing broadcast (a corpus-scale bigram
+    vocabulary exceeds any broadcast budget), ONE wide shuffle:
+
+    1. one scan emits per-doc-distinct ``(doc_id, tok_a, bigram, k)``
+       rows bucketed by ``hash(tok_a)`` — so every occurrence of a
+       bigram lands in one bucket and the corpus count ``c(ab)`` is a
+       segment-sum WITHIN the bucket (no separate bigram-table
+       shuffle); the memoized unigram table rides the same buckets to
+       provide ``c(a)``;
+    2. the smoothed log-prob terms are computed vectorized per bucket
+       and pre-aggregated per doc, so the final ``doc_id`` groupby
+       carries ≤ one row per (bucket, doc), not one per bigram.
+
+    Skew note: a stopword-grade ``tok_a`` concentrates its bigrams in
+    one bucket, bounded by ≤ one row per (doc, following-token) — the
+    same bound as ``doc_top_tfidf``'s stopword analysis; per-bucket
+    work stays a sort.
+
+    Floats: log terms are irrational, so unlike the integer-exact
+    queries both sides ``ROUND(·, 6)`` — cross-engine sum-order jitter
+    is ~1e-13 against the 5e-7 rounding slack.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from parallel_count_min_sketch_ray.pipelines.analytics import token_counts
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        num_shuffle_buckets,
+    )
+
+    n_buckets = num_shuffle_buckets()
+    uni = token_counts(sf_dir)
+    # V = distinct unigrams (the add-one smoothing denominator); the
+    # memoized vocabulary table makes this a row count, not a scan
+    vocab_size = float(uni.count())
+
+    def _bucket_of(tokens: "pa.Array") -> np.ndarray:
+        uniq = pc.unique(tokens)
+        ub = (hash64_strings(uniq.to_pylist()) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        idx = pc.index_in(tokens, value_set=uniq).to_numpy(zero_copy_only=False)
+        return ub[idx]
+
+    def doc_pairs(batch: pa.Table) -> pa.Table:
+        lists = textops.split_words(batch["text"])
+        off = np.asarray(lists.offsets, dtype=np.int64)
+        flat = lists.flatten()
+        total = len(flat)
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "bigram": pa.array([], pa.string()),
+                "k": pa.array([], pa.int64()),
+            }
+        )
+        if total < 2:
+            return empty
+        big = pc.binary_join_element_wise(
+            flat.slice(0, total - 1), flat.slice(1, total - 1), " "
+        )
+        # mask pairs spanning a document boundary (same as bigram_counts)
+        valid = np.ones(total - 1, dtype=bool)
+        starts = off[1:-1]
+        starts = starts[(starts >= 1) & (starts <= total - 1)]
+        valid[starts - 1] = False
+        owner = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), np.diff(off)
+        )[: total - 1]
+        keep = pa.array(valid)
+        t = pa.table(
+            {
+                "doc_id": pa.array(owner[valid]),
+                "token": flat.slice(0, total - 1).filter(keep),
+                "bigram": big.filter(keep),
+                "k": pa.array(np.ones(int(valid.sum()), dtype=np.int64)),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = _group_sum(t, ["doc_id", "token", "bigram"])
+        tok = g["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(tok), pa.int64()),
+                "kind": pa.array(np.ones(g.num_rows, dtype=np.int64)),
+                "doc_id": g["doc_id"],
+                "token": g["token"],
+                "bigram": g["bigram"],
+                "k": g["k"],
+            }
+        )
+
+    def uni_rows(batch: pa.Table) -> pa.Table:
+        tok = batch["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(tok), pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int64)),
+                "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "token": tok,
+                "bigram": pa.array([""] * n, pa.string()),
+                "k": batch["cnt"],
+            }
+        )
+
+    def score_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "lp": pd.Series([], dtype=np.float64),
+                "nb": pd.Series([], dtype=np.int64),
+            }
+        )
+        kind = g["kind"].to_numpy()
+        pairs = g[kind == 1]
+        if not len(pairs):
+            return empty
+        uni_g = g[kind == 0]
+        ut = uni_g["token"].to_numpy()
+        uo = np.argsort(ut, kind="stable")
+        ut_s, uc_s = ut[uo], uni_g["k"].to_numpy()[uo]
+        # corpus bigram count: every occurrence of a bigram shares its
+        # first token, hence this bucket — a segment sum suffices
+        bg = pairs["bigram"].to_numpy()
+        k = pairs["k"].to_numpy()
+        order = np.argsort(bg, kind="stable")
+        bg_s, k_s = bg[order], k[order]
+        seg_starts = np.r_[0, np.flatnonzero(bg_s[1:] != bg_s[:-1]) + 1]
+        seg_sum = np.add.reduceat(k_s, seg_starts)
+        seg_len = np.diff(np.r_[seg_starts, len(bg_s)])
+        c_ab = np.empty(len(bg), dtype=np.int64)
+        c_ab[order] = np.repeat(seg_sum, seg_len)
+        # unigram count of the left context (same tokenization → present)
+        tok = pairs["token"].to_numpy()
+        pos = np.minimum(np.searchsorted(ut_s, tok), max(len(ut_s) - 1, 0))
+        if not len(ut_s) or not np.array_equal(ut_s[pos], tok):
+            raise ValueError("bigram left token missing from unigram vocab")
+        c_a = uc_s[pos]
+        term = k * (np.log(c_ab + 1.0) - np.log(c_a + vocab_size))
+        # pre-aggregate per doc before the cross-bucket shuffle
+        did = pairs["doc_id"].to_numpy()
+        do = np.argsort(did, kind="stable")
+        did_s = did[do]
+        dstarts = np.r_[0, np.flatnonzero(did_s[1:] != did_s[:-1]) + 1]
+        return pd.DataFrame(
+            {
+                "doc_id": did_s[dstarts],
+                "lp": np.add.reduceat(term[do], dstarts),
+                "nb": np.add.reduceat(k[do], dstarts).astype(np.int64),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        lp = batch["lp"].to_numpy(zero_copy_only=False)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        avg = lp / nb
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": batch["nb"],
+                "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
+                "ppl": pa.array(np.round(np.exp(-avg), 6), pa.float64()),
+            }
+        )
+
+    pairs_ds = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        doc_pairs, batch_format="pyarrow"
+    )
+    tagged_uni = uni.map_batches(uni_rows, batch_format="pyarrow")
+    return (
+        pairs_ds.union(tagged_uni)
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("lp", alias_name="lp"), Sum("nb", alias_name="nb"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+# Probe retrieval queries over the synthetic pipeline-vocab corpus
+# (terms drawn from the same in-corpus vocabulary as
+# sketch_queries.PROBE_WORDS; one stopword-heavy query on purpose).
+BM25_QUERIES = ("data table row", "query join value", "the a data")
+
+
+def bm25_topk(
+    sf_dir: str,
+    queries: tuple[str, ...] = BM25_QUERIES,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 top-``k`` retrieval (Robertson–Spärck Jones idf) for a
+    fixed probe query set — the lexical-retrieval op a curation
+    pipeline uses to select in-domain documents for a topic mixture.
+
+    Two scans, zero shuffles (the inverse of the ANN brute-force shape,
+    applied to lexical scoring):
+
+    1. a stats pass emits ONE partial row per batch (per-term document
+       frequencies + doc count + total length); a scalar aggregate
+       reduces them — the driver receives |terms|+2 numbers;
+    2. a scoring pass computes per-doc tf for the query terms
+       vectorized (token-equality masks segment-summed by the list
+       offsets — no per-row Python), scores docs × queries with the
+       BM25 formula written in the oracle's exact operation order, and
+       keeps a per-batch partial top-k per query; the driver merges
+       ≤ blocks·|queries|·k candidate rows.
+
+    Ranking is on ``(ROUND(score, 6) DESC, doc_id ASC)`` on both sides
+    — equal-to-6-decimals scores tie-break deterministically, so the
+    cross-engine libm/sum-order jitter (~1e-15 relative) cannot flip
+    the ranking.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    terms = sorted({t for q in queries for t in q.split()})
+    t_index = {t: i for i, t in enumerate(terms)}
+
+    def _tf_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, dl, tf[docs × terms]) for one batch, vectorized."""
+        lists = textops.split_words(batch["text"])
+        off = np.asarray(lists.offsets, dtype=np.int64)
+        flat = lists.flatten()
+        dl = np.diff(off)
+        tf = np.zeros((len(dl), len(terms)), dtype=np.int64)
+        for j, t in enumerate(terms):
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(m)])
+            tf[:, j] = cs[off[1:]] - cs[off[:-1]]
+        return batch["doc_id"].to_numpy(zero_copy_only=False), dl, tf
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        _, dl, tf = _tf_matrix(batch)
+        cols = {
+            "n_docs": pa.array([np.int64(len(dl))]),
+            "sum_dl": pa.array([np.int64(dl.sum())]),
+        }
+        for j in range(len(terms)):
+            cols[f"df_{j}"] = pa.array([np.int64((tf[:, j] > 0).sum())])
+        return pa.table(cols)
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    aggs = [Sum("n_docs", alias_name="n_docs"), Sum("sum_dl", alias_name="sum_dl")]
+    aggs += [Sum(f"df_{j}", alias_name=f"df_{j}") for j in range(len(terms))]
+    st = docs.map_batches(stats_partial, batch_format="pyarrow").aggregate(*aggs)
+    n_docs = int(st["n_docs"])
+    avgdl = float(st["sum_dl"]) / n_docs
+    df = np.array([int(st[f"df_{j}"]) for j in range(len(terms))], dtype=np.int64)
+    # Robertson–Spärck Jones idf, same operation order as the SQL oracle
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    q_term_idx = [
+        np.array([t_index[t] for t in q.split()], dtype=np.int64) for q in queries
+    ]
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, dl, tf = _tf_matrix(batch)
+        norm = k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+        out_q, out_d, out_s = [], [], []
+        for qi, tidx in enumerate(q_term_idx):
+            tfq = tf[:, tidx].astype(np.float64)
+            score = (idf[tidx] * tfq * (k1 + 1.0) / (tfq + norm[:, None])).sum(
+                axis=1
+            )
+            hit = tf[:, tidx].sum(axis=1) > 0
+            s_r = np.round(score[hit], 6)
+            d = doc_ids[hit]
+            top = np.lexsort((d, -s_r))[:k]
+            out_q.append(np.full(len(top), qi, dtype=np.int64))
+            out_d.append(d[top])
+            out_s.append(s_r[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q) if out_q else []),
+                "doc_id": pa.array(np.concatenate(out_d) if out_d else []),
+                "score": pa.array(np.concatenate(out_s) if out_s else []),
+            }
+        )
+
+    cand = (
+        docs.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    )  # ≤ blocks·|queries|·k rows — the documented small result
+    cand = cand.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rnk"] = top.groupby("query_id").cumcount().to_numpy() + 1
+    top["query"] = [queries[i] for i in top["query_id"]]
+    return top[["query_id", "query", "doc_id", "rnk", "score"]].astype(
+        {"query_id": np.int64, "doc_id": np.int64, "rnk": np.int64}
+    )

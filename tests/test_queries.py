@@ -119,6 +119,8 @@ def _to_pandas(res):
         "top_users_by_value",
         "embedding_norms",
         "ann_topk",
+        "doc_perplexity",
+        "bm25_topk",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

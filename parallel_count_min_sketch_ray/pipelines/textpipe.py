@@ -716,11 +716,15 @@ def doc_perplexity(sf_dir: str):
     vocabulary exceeds any broadcast budget), ONE wide shuffle:
 
     1. one scan emits per-doc-distinct ``(doc_id, tok_a, bigram, k)``
-       rows bucketed by ``hash(tok_a)`` — so every occurrence of a
-       bigram lands in one bucket and the corpus count ``c(ab)`` is a
-       segment-sum WITHIN the bucket (no separate bigram-table
-       shuffle); the memoized unigram table rides the same buckets to
-       provide ``c(a)``;
+       rows bucketed by ``hash(tok_a)``, plus one ``(final_token, k)``
+       row per document.  Every occurrence of a bigram lands in one
+       bucket, so the corpus count ``c(ab)`` is a segment-sum WITHIN
+       the bucket; and since every occurrence of token ``a`` is either
+       followed by a token (a pair row) or document-final (a final
+       row), ``c(a)`` is a segment-sum over BOTH row kinds in the same
+       bucket — no unigram-table join or ``Dataset.union`` at all
+       (a union feeding an all-to-all re-executes both branches in
+       Ray's sort-sample phase; measured 3× slower at sf0.1);
     2. the smoothed log-prob terms are computed vectorized per bucket
        and pre-aggregated per doc, so the final ``doc_id`` groupby
        carries ≤ one row per (bucket, doc), not one per bigram.
@@ -735,8 +739,6 @@ def doc_perplexity(sf_dir: str):
     is ~1e-13 against the 5e-7 rounding slack.
     """
     import pandas as pd
-
-    from ray.data.aggregate import Sum
 
     from parallel_count_min_sketch_ray.pipelines.analytics import token_counts
     from parallel_count_min_sketch_ray.stages.partitioning import (
@@ -772,60 +774,71 @@ def doc_perplexity(sf_dir: str):
                 "k": pa.array([], pa.int64()),
             }
         )
-        if total < 2:
+        if total < 1:
             return empty
-        big = pc.binary_join_element_wise(
-            flat.slice(0, total - 1), flat.slice(1, total - 1), " "
-        )
-        # mask pairs spanning a document boundary (same as bigram_counts)
-        valid = np.ones(total - 1, dtype=bool)
-        starts = off[1:-1]
-        starts = starts[(starts >= 1) & (starts <= total - 1)]
-        valid[starts - 1] = False
-        owner = np.repeat(
-            batch["doc_id"].to_numpy(zero_copy_only=False), np.diff(off)
-        )[: total - 1]
-        keep = pa.array(valid)
-        t = pa.table(
-            {
-                "doc_id": pa.array(owner[valid]),
-                "token": flat.slice(0, total - 1).filter(keep),
-                "bigram": big.filter(keep),
-                "k": pa.array(np.ones(int(valid.sum()), dtype=np.int64)),
-            }
-        )
-        if t.num_rows == 0:
+        parts = []
+        if total >= 2:
+            big = pc.binary_join_element_wise(
+                flat.slice(0, total - 1), flat.slice(1, total - 1), " "
+            )
+            # mask pairs spanning a doc boundary (same as bigram_counts)
+            valid = np.ones(total - 1, dtype=bool)
+            starts = off[1:-1]
+            starts = starts[(starts >= 1) & (starts <= total - 1)]
+            valid[starts - 1] = False
+            owner = np.repeat(
+                batch["doc_id"].to_numpy(zero_copy_only=False), np.diff(off)
+            )[: total - 1]
+            keep = pa.array(valid)
+            t = pa.table(
+                {
+                    "doc_id": pa.array(owner[valid]),
+                    "token": flat.slice(0, total - 1).filter(keep),
+                    "bigram": big.filter(keep),
+                    "k": pa.array(np.ones(int(valid.sum()), dtype=np.int64)),
+                }
+            )
+            if t.num_rows:
+                g = _group_sum(t, ["doc_id", "token", "bigram"])
+                parts.append(("pair", g))
+        # one row per document-final token: together with the pair rows
+        # these account for every token occurrence, so c(a) needs no
+        # separate unigram-table join
+        nonempty = np.diff(off) > 0
+        fin = flat.take(pa.array(off[1:][nonempty] - 1))
+        if len(fin):
+            ft = pa.table(
+                {"token": fin, "k": pa.array(np.ones(len(fin), dtype=np.int64))}
+            )
+            parts.append(("final", _group_sum(ft, ["token"])))
+        if not parts:
             return empty
-        g = _group_sum(t, ["doc_id", "token", "bigram"])
-        tok = g["token"]
-        if isinstance(tok, pa.ChunkedArray):
-            tok = tok.combine_chunks()
-        return pa.table(
-            {
-                "bucket": pa.array(_bucket_of(tok), pa.int64()),
-                "kind": pa.array(np.ones(g.num_rows, dtype=np.int64)),
-                "doc_id": g["doc_id"],
-                "token": g["token"],
-                "bigram": g["bigram"],
-                "k": g["k"],
-            }
-        )
-
-    def uni_rows(batch: pa.Table) -> pa.Table:
-        tok = batch["token"]
-        if isinstance(tok, pa.ChunkedArray):
-            tok = tok.combine_chunks()
-        n = batch.num_rows
-        return pa.table(
-            {
-                "bucket": pa.array(_bucket_of(tok), pa.int64()),
-                "kind": pa.array(np.zeros(n, dtype=np.int64)),
-                "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
-                "token": tok,
-                "bigram": pa.array([""] * n, pa.string()),
-                "k": batch["cnt"],
-            }
-        )
+        out = []
+        for kind_name, g in parts:
+            tok = g["token"]
+            if isinstance(tok, pa.ChunkedArray):
+                tok = tok.combine_chunks()
+            n = g.num_rows
+            is_pair = kind_name == "pair"
+            out.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(_bucket_of(tok), pa.int64()),
+                        "kind": pa.array(
+                            np.full(n, 1 if is_pair else 0, dtype=np.int64)
+                        ),
+                        "doc_id": g["doc_id"]
+                        if is_pair
+                        else pa.array(np.full(n, -1, dtype=np.int64)),
+                        "token": tok,
+                        "bigram": g["bigram"]
+                        if is_pair
+                        else pa.array([""] * n, pa.string()),
+                        "k": g["k"],
+                    }
+                )
+            )
+        return pa.concat_tables(out)
 
     def score_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
@@ -839,27 +852,29 @@ def doc_perplexity(sf_dir: str):
         pairs = g[kind == 1]
         if not len(pairs):
             return empty
-        uni_g = g[kind == 0]
-        ut = uni_g["token"].to_numpy()
-        uo = np.argsort(ut, kind="stable")
-        ut_s, uc_s = ut[uo], uni_g["k"].to_numpy()[uo]
+
+        def _seg_sum(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+            """Total of ``vals`` per distinct key, gathered at ``probe``."""
+            order = np.argsort(keys, kind="stable")
+            ks, vs = keys[order], vals[order]
+            starts = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+            sums = np.add.reduceat(vs, starts)
+            uniq = ks[starts]
+            pos = np.minimum(np.searchsorted(uniq, probe), len(uniq) - 1)
+            if not np.array_equal(uniq[pos], probe):
+                raise ValueError("probe key missing from segment index")
+            return sums[pos]
+
+        k = pairs["k"].to_numpy()
         # corpus bigram count: every occurrence of a bigram shares its
         # first token, hence this bucket — a segment sum suffices
-        bg = pairs["bigram"].to_numpy()
-        k = pairs["k"].to_numpy()
-        order = np.argsort(bg, kind="stable")
-        bg_s, k_s = bg[order], k[order]
-        seg_starts = np.r_[0, np.flatnonzero(bg_s[1:] != bg_s[:-1]) + 1]
-        seg_sum = np.add.reduceat(k_s, seg_starts)
-        seg_len = np.diff(np.r_[seg_starts, len(bg_s)])
-        c_ab = np.empty(len(bg), dtype=np.int64)
-        c_ab[order] = np.repeat(seg_sum, seg_len)
-        # unigram count of the left context (same tokenization → present)
-        tok = pairs["token"].to_numpy()
-        pos = np.minimum(np.searchsorted(ut_s, tok), max(len(ut_s) - 1, 0))
-        if not len(ut_s) or not np.array_equal(ut_s[pos], tok):
-            raise ValueError("bigram left token missing from unigram vocab")
-        c_a = uc_s[pos]
+        c_ab = _seg_sum(pairs["bigram"].to_numpy(), k, pairs["bigram"].to_numpy())
+        # corpus unigram count of the left context: every occurrence of
+        # token a is either a pair row (followed by something) or a
+        # doc-final row — both kinds live in this bucket
+        c_a = _seg_sum(
+            g["token"].to_numpy(), g["k"].to_numpy(), pairs["token"].to_numpy()
+        )
         term = k * (np.log(c_ab + 1.0) - np.log(c_a + vocab_size))
         # pre-aggregate per doc before the cross-bucket shuffle
         did = pairs["doc_id"].to_numpy()
@@ -874,30 +889,39 @@ def doc_perplexity(sf_dir: str):
             }
         )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        lp = batch["lp"].to_numpy(zero_copy_only=False)
-        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
-        avg = lp / nb
-        return pa.table(
+    def doc_bucketed(batch: pa.Table) -> pa.Table:
+        b = batch["doc_id"].to_numpy(zero_copy_only=False) % np.int64(n_buckets)
+        return batch.append_column("doc_bucket", pa.array(b, pa.int64()))
+
+    def finalize_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        # coarse-bucket segment reduce (the doc_top_tfidf pattern; a
+        # direct groupby(doc_id).aggregate() is ~10× slower because the
+        # sort-based Aggregate samples boundaries over every key)
+        d = g["doc_id"].to_numpy()
+        o = np.argsort(d, kind="stable")
+        d_s = d[o]
+        starts = np.r_[0, np.flatnonzero(np.diff(d_s)) + 1]
+        lp = np.add.reduceat(g["lp"].to_numpy()[o], starts)
+        nb = np.add.reduceat(g["nb"].to_numpy()[o], starts)
+        avg = lp / nb.astype(np.float64)
+        return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"],
-                "n_bigrams": batch["nb"],
-                "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
-                "ppl": pa.array(np.round(np.exp(-avg), 6), pa.float64()),
+                "doc_id": d_s[starts],
+                "n_bigrams": nb.astype(np.int64),
+                "avg_logprob": np.round(avg, 6),
+                "ppl": np.round(np.exp(-avg), 6),
             }
         )
 
     pairs_ds = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         doc_pairs, batch_format="pyarrow"
     )
-    tagged_uni = uni.map_batches(uni_rows, batch_format="pyarrow")
     return (
-        pairs_ds.union(tagged_uni)
-        .groupby("bucket")
+        pairs_ds.groupby("bucket")
         .map_groups(score_bucket, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Sum("lp", alias_name="lp"), Sum("nb", alias_name="nb"))
-        .map_batches(finalize, batch_format="pyarrow")
+        .map_batches(doc_bucketed, batch_format="pyarrow")
+        .groupby("doc_bucket")
+        .map_groups(finalize_bucket, batch_format="pandas")
     )
 
 

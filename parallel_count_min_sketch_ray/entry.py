@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_window_sum": analytics.events_time_window_sum,
         "doc_perplexity": textpipe.doc_perplexity,
         "bm25_topk": textpipe.bm25_topk,
+        "events_value_ntile": analytics.events_value_ntile,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
         "lang_quality": textpipe.lang_quality,
@@ -134,11 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_totals": analytics.source_token_totals,
         "clean_corpus": textpipe.clean_corpus,
         "events_sessions": analytics.events_sessions,
-        "events_sliding": analytics.events_sliding,
         # ^ cap boundary (50 entries above): everything below has the
         # strongest existing record (one or two green driver rows) or
         # is rows-only
         # --- SQL-checked, green driver row(s), past cap ---
+        "events_sliding": analytics.events_sliding,
         "events_asof_join": analytics.events_asof_join,
         "events_range_join": analytics.events_range_join,
         "events_props_stats": analytics.events_props_stats,
@@ -409,6 +410,12 @@ def oracle_sql() -> dict[str, str]:
         # BM25 with RSJ idf; ranking on (ROUND(score,6) DESC, doc_id)
         # both sides so libm jitter cannot flip ranks
         "bm25_topk": _bm25_oracle(),
+        # NTILE with a unique tiebreak — integer-exact on both sides
+        "events_value_ntile": (
+            "SELECT event_id, event_type, value, "
+            "CAST(NTILE(4) OVER (PARTITION BY event_type "
+            "ORDER BY value, event_id) AS BIGINT) AS tile FROM events"
+        ),
         "customer_running_spend": (
             "SELECT o_custkey, o_orderkey, "
             "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("

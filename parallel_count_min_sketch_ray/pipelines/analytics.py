@@ -2568,6 +2568,87 @@ def events_user_seq(sf_dir: str):
     return with_cum.map_batches(finalize, batch_format="pyarrow")
 
 
+def events_value_ntile(sf_dir: str, n: int = 4):
+    """``NTILE(n) OVER (PARTITION BY event_type ORDER BY value,
+    event_id)`` — quantile-bucket assignment per partition, the
+    stratification primitive behind per-type difficulty/score binning.
+
+    Unlike ``events_cume_dist`` (which avoids NTILE's tie ambiguity by
+    design), the ``event_id`` tiebreak makes the total order unique, so
+    NTILE is deterministic and integer-exact on both sides.
+
+    Scale shape: ranking IS a per-partition running count, so the
+    ROW_NUMBER rides the distributed scan (``keyed_prefix_sum`` —
+    one sort, O(blocks) coordination); the per-type totals are a
+    |types|-row aggregate broadcast into the final vectorized pass.
+    DuckDB tile semantics: the first ``cnt % n`` tiles get one extra
+    row.
+    """
+    from ray.data.aggregate import Sum
+
+    from parallel_count_min_sketch_ray.stages.scan import keyed_prefix_sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "event_id": batch["event_id"],
+                "value": batch["value"],
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    ds = read(sf_dir, "events", ["event_type", "event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    # per-type row counts: |types| rows on the driver
+    cnt_df = (
+        ds.map_batches(
+            lambda t: _group_sum(
+                pa.table({"event_type": t["event_type"], "n": t["one"]}),
+                ["event_type"],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    type_keys = np.sort(cnt_df["event_type"].to_numpy())
+    type_cnts = cnt_df.set_index("event_type")["n"].astype(np.int64).loc[
+        type_keys
+    ].to_numpy()
+
+    with_rank = keyed_prefix_sum(
+        ds, "event_type", ["value", "event_id"], "one", "rnk"
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        r = batch["rnk"].to_numpy(zero_copy_only=False)
+        cnt = type_cnts[np.searchsorted(type_keys, et)]
+        floor = cnt // n
+        rem = cnt % n
+        big_span = rem * (floor + 1)  # rows covered by the larger tiles
+        in_big = r <= big_span
+        # guard floor==0 (cnt < n): every row is its own tile = rank
+        tile = np.where(
+            in_big,
+            (r - 1) // np.maximum(floor + 1, 1) + 1,
+            rem + (r - big_span - 1) // np.maximum(floor, 1) + 1,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return with_rank.map_batches(assign, batch_format="pyarrow")
+
+
 def events_outliers(sf_dir: str, sigmas: float = 3.0):
     """Anomaly counts per event type: events beyond ``sigmas``
     population standard deviations from the type mean — the two-pass

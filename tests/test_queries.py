@@ -121,6 +121,7 @@ def _to_pandas(res):
         "ann_topk",
         "doc_perplexity",
         "bm25_topk",
+        "events_value_ntile",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": textpipe.doc_perplexity,
         "bm25_topk": textpipe.bm25_topk,
         "events_value_ntile": analytics.events_value_ntile,
+        "local_supplier_volume": analytics.local_supplier_volume,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
         "lang_quality": textpipe.lang_quality,
@@ -134,11 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_regex": textpipe.token_count_regex,
         "source_token_totals": analytics.source_token_totals,
         "clean_corpus": textpipe.clean_corpus,
-        "events_sessions": analytics.events_sessions,
         # ^ cap boundary (50 entries above): everything below has the
         # strongest existing record (one or two green driver rows) or
         # is rows-only
         # --- SQL-checked, green driver row(s), past cap ---
+        "events_sessions": analytics.events_sessions,
         "events_sliding": analytics.events_sliding,
         "events_asof_join": analytics.events_asof_join,
         "events_range_join": analytics.events_range_join,
@@ -415,6 +416,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, value, "
             "CAST(NTILE(4) OVER (PARTITION BY event_type "
             "ORDER BY value, event_id) AS BIGINT) AS tile FROM events"
+        ),
+        # TPC-H Q5: integer 1e-4-dollar revenue, one final divide
+        "local_supplier_volume": (
+            "WITH rn AS (SELECT n_nationkey, n_name FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA') "
+            "SELECT rn.n_name, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) "
+            "/ 10000.0 AS revenue "
+            "FROM customer c JOIN orders o ON c_custkey = o_custkey "
+            "JOIN lineitem l ON l_orderkey = o_orderkey "
+            "JOIN supplier s ON l_suppkey = s_suppkey "
+            "JOIN rn ON s_nationkey = rn.n_nationkey "
+            "AND c_nationkey = rn.n_nationkey "
+            "WHERE o_orderdate >= DATE '1996-01-01' "
+            "AND o_orderdate < DATE '1997-01-01' "
+            "GROUP BY rn.n_name"
         ),
         "customer_running_spend": (
             "SELECT o_custkey, o_orderkey, "

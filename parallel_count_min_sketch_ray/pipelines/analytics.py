@@ -2492,6 +2492,141 @@ def shipping_priority(sf_dir: str, cutoff: str = "1998-01-01", k: int = 10):
     return top
 
 
+def local_supplier_volume(
+    sf_dir: str, region: str = "ASIA", date_from: str = "1996-01-01"
+):
+    """TPC-H Q5 shape: per-nation revenue where the customer's nation
+    equals the supplier's nation, customers restricted to one region,
+    orders to one year — the deepest join graph in the suite
+    (region⋈nation⋈customer⋈orders⋈lineitem⋈supplier).
+
+    Plan: the three dimension maps (nation names of the region,
+    custkey→nationkey, suppkey→nationkey) ride the broadcast tier as
+    sorted key/value arrays (one ``ray.put`` each, searchsorted inside
+    the scans; at open-vocabulary scale customer graduates to the hash
+    join tier like ``order_lineitem_join``).  Both fact scans push
+    their predicates into parquet and pre-aggregate to (orderkey,
+    nation) rows before the single hash join on orderkey; the
+    cust-nation = supp-nation filter runs inside the join's output
+    batches.  Revenue sums as integer 1e-4 dollars (exact,
+    associative); the only float op is the final divide.
+    """
+    ts_from = pd.Timestamp(date_from)
+    ts_to = pd.Timestamp(date_from) + pd.DateOffset(years=1)
+
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet",
+        columns=["r_regionkey"],
+        filter=pc.field("r_name") == region,
+    ).to_pandas()
+    nat = nat[nat["n_regionkey"].isin(reg["r_regionkey"])]
+    nat_keys = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    nat_names = (
+        nat.set_index("n_nationkey")["n_name"].loc[nat_keys].to_numpy(dtype=object)
+    )
+
+    def _key_map(table: str, key: str, val: str) -> "ray.ObjectRef":
+        """Broadcast (sorted keys, nationkey) restricted to the region."""
+        df = ray.data.read_parquet(
+            f"{sf_dir}/{table}.parquet",
+            columns=[key, val],
+            filter=pc.field(val).isin(nat_keys.tolist()),
+        ).to_pandas()
+        kk = df[key].to_numpy().astype(np.int64)
+        vv = df[val].to_numpy().astype(np.int64)
+        o = np.argsort(kk)
+        return ray.put((kk[o], vv[o]))
+
+    cust_ref = _key_map("customer", "c_custkey", "c_nationkey")
+    supp_ref = _key_map("supplier", "s_suppkey", "s_nationkey")
+
+    def _lookup(ref, probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        kk, vv = ray.get(ref)
+        if len(kk) == 0:
+            return np.zeros(len(probe), np.int64), np.zeros(len(probe), bool)
+        pos = np.searchsorted(kk, probe)
+        pos[pos == len(kk)] = 0
+        hit = kk[pos] == probe
+        return vv[pos], hit
+
+    def orders_proj(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        nk, hit = _lookup(cust_ref, ck)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(hit)),
+                "cust_nation": pa.array(nk[hit], pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= ts_from)
+        & (pc.field("o_orderdate") < ts_to),
+    ).map_batches(orders_proj, batch_format="pyarrow")
+
+    def line_rev(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        nk, hit = _lookup(supp_ref, sk)
+        keep = pa.array(hit)
+        ext_c = _cents(
+            batch["l_extendedprice"].filter(keep).to_numpy(zero_copy_only=False)
+        )
+        disc_c = _cents(
+            batch["l_discount"].filter(keep).to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].filter(keep),
+                "supp_nation": pa.array(nk[hit], pa.int64()),
+                "rev": pa.array(ext_c * (100 - disc_c), pa.int64()),
+            }
+        )
+        return _group_sum(t, ["l_orderkey", "supp_nation"])
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_rev, batch_format="pyarrow")
+
+    joined = lineitem.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, ["orders", "lineitem"]),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        cn = batch["cust_nation"].to_numpy(zero_copy_only=False)
+        sn = batch["supp_nation"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(cn == sn))
+        return _group_sum(
+            t.select(["supp_nation", "rev"]), ["supp_nation"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("supp_nation")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    pos = np.searchsorted(nat_keys, agg["supp_nation"].to_numpy())
+    agg["n_name"] = nat_names[pos]
+    agg["revenue"] = agg["rev"].to_numpy().astype(np.float64) / 10000.0
+    out = agg[["n_name", "revenue"]].sort_values(
+        "revenue", ascending=False
+    ).reset_index(drop=True)
+    return out
+
+
 def corpus_sample(sf_dir: str, n: int = 50):
     """Deterministic uniform corpus sample: the n docs with the
     smallest md5(doc_id) — coordination-free (any rerun, any node, and

@@ -122,6 +122,7 @@ def _to_pandas(res):
         "doc_perplexity",
         "bm25_topk",
         "events_value_ntile",
+        "local_supplier_volume",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_count": sketch_queries.bloom_semijoin_count,
         "cms_inner_product_sources": sketch_queries.cms_inner_product_sources,
         "topk_words": sketch_queries.topk_words,
+        "source_topk_words": sketch_queries.source_topk_words,
         "cms_accuracy_report": sketch_queries.cms_accuracy_report,
         "source_distinct_tokens": sketch_queries.source_distinct_tokens,
         "source_ntok_quantiles": sketch_queries.source_ntok_quantiles,

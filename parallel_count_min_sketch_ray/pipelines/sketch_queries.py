@@ -482,6 +482,37 @@ def topk_words(sf_dir: str, m: int = 10) -> pd.DataFrame:
     )
 
 
+def source_topk_words(sf_dir: str, m: int = 5) -> pd.DataFrame:
+    """Per-source Misra–Gries heavy hitters — grouped top-k, the
+    per-domain vocabulary profile a curation pipeline keeps per crawl
+    source.  One keyed merge-tree pass builds every source's sketch
+    (``build_sketches_by_key`` — the shuffle carries fixed-size MG
+    partials, not rows); the exact counterpart is
+    ``top_terms_per_source``.  Bounds semantics as ``topk_words``:
+    the true count is always inside [lower, upper].  Deterministic but
+    not SQL-expressible (hashed token ids, deficit bounds) →
+    rows-only check; the containment contract is asserted in pytest.
+    """
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        build_sketches_by_key,
+    )
+    from parallel_count_min_sketch_ray.state.topk import TopKSketch
+
+    ds = tokenized_documents(sf_dir)
+    grouped = build_sketches_by_key(
+        ds, "source", [SketchSpec("topk", TopKSketch(k=512), "tokens")]
+    )
+    rows = []
+    for src in sorted(grouped):
+        for rank, (tok, lo, hi) in enumerate(grouped[src]["topk"].topk(m), 1):
+            rows.append((src, np.int64(rank), np.int64(tok),
+                         np.int64(lo), np.int64(hi)))
+    return pd.DataFrame(
+        rows,
+        columns=["source", "rnk", "token", "count_lower", "count_upper"],
+    )
+
+
 def source_shingle_overlap(
     sf_dir: str, k: int = 1024, shingle_k: int = 3
 ) -> pd.DataFrame:

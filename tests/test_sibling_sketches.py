@@ -984,3 +984,35 @@ def test_matrix_column_rejects_nulls_and_raggedness():
                                     pa.list_(pa.float64()))})
     with pytest.raises(ValueError):
         matrix_column(nulls, "e")
+
+
+def test_source_topk_words_containment(ray_session):
+    """Grouped MG: each per-source [lower, upper] must contain the
+    exact per-source count of the hashed token (DuckDB ground truth)."""
+    import duckdb
+
+    from parallel_count_min_sketch_ray.functions.hashing import djb2
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        source_topk_words,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = source_topk_words(sf, m=5)
+    assert len(out) > 0 and set(out["source"]) > set()
+    exact = duckdb.sql(
+        f"""SELECT source, token, COUNT(*) AS cnt FROM (
+            SELECT source, unnest(list_filter(string_split(text, ' '),
+            x -> x <> '')) AS token
+            FROM read_parquet('{sf}/documents.parquet')) GROUP BY 1, 2"""
+    ).df()
+    exact["tid"] = [djb2(t) & 0x7FFFFFFF for t in exact["token"]]
+    truth = exact.groupby(["source", "tid"])["cnt"].sum()
+    for _, r in out.iterrows():
+        true_cnt = int(truth.get((r["source"], int(r["token"])), 0))
+        assert r["count_lower"] <= true_cnt <= r["count_upper"], (
+            r["source"], r["token"], true_cnt, r["count_lower"], r["count_upper"]
+        )
+    # ranks are 1..m per source, counts non-increasing within a source
+    for src, g in out.groupby("source"):
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["count_upper"].to_numpy()) <= 0).all()

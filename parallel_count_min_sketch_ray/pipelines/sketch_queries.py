@@ -589,7 +589,13 @@ def source_token_divergence(
     )
     from parallel_count_min_sketch_ray.state.countsketch import CountSketch
 
-    ds = tokenized_documents(sf_dir)
+    # only the two compared sources matter: filter BEFORE the keyed
+    # build — the per-(block, key) CSK partials are 448 KB each, so an
+    # unfiltered 20-source build shuffles ~10× the partial volume it
+    # uses (measured 31 s late-suite vs ~1.5 s filtered)
+    ds = tokenized_documents(sf_dir).filter(
+        expr=f"source == '{src_a}' or source == '{src_b}'"
+    )
     grouped = build_sketches_by_key(
         ds,
         "source",

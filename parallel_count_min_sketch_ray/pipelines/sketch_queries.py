@@ -376,6 +376,84 @@ def weekly_distinct_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
     )
 
 
+_daily_topk_cache: dict[tuple, dict] = {}
+
+
+def _daily_user_topks(sf_dir: str, k: int = 256) -> dict:
+    """Per-day user Misra–Gries sketches through the keyed merge tree
+    (memoized per (sf_dir, job) — same policy as ``_daily_user_hlls``)."""
+    import ray as _ray
+
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        build_sketches_by_key,
+    )
+    from parallel_count_min_sketch_ray.state.topk import TopKSketch
+
+    job = _ray.get_runtime_context().get_job_id() if _ray.is_initialized() else None
+    key = (sf_dir, job, k)
+    cached = _daily_topk_cache.get(key)
+    if cached is not None:
+        return cached
+
+    def with_day(batch: pa.Table) -> pa.Table:
+        day = pa.compute.strftime(batch["ts"], format="%Y-%m-%d")
+        return pa.table({"day": day, "user_id": batch["user_id"]})
+
+    ds = read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        with_day, batch_format="pyarrow"
+    )
+    grouped = build_sketches_by_key(
+        ds, "day", [SketchSpec("topk", TopKSketch(k=k), "user_id",
+                               kind="numeric")]
+    )
+    _daily_topk_cache[key] = grouped
+    return grouped
+
+
+def weekly_top_users(
+    sf_dir: str, window_days: int = 7, m: int = 5
+) -> pd.DataFrame:
+    """SLIDING-window heavy hitters (trending users) from per-day
+    Misra–Gries state — the windowed-top-k composition: a window's
+    heavy hitters come from MERGING its daily sketches (MG merge keeps
+    the deficit bounds valid), so every window size replays off the
+    ONE per-day build with zero extra passes over the events.  Windows
+    slide over CALENDAR days (a gap day must not widen the window —
+    the ``weekly_distinct_users`` contract).
+
+    True count within [lower, upper] per (window, user) is asserted
+    against exact per-window SQL counts in pytest; rows-only driver
+    check (deficit bounds are not SQL-expressible).
+    """
+    grouped = _daily_user_topks(sf_dir)
+    cols = ["window_start", "window_end", "rnk", "user_id",
+            "count_lower", "count_upper"]
+    if not grouped:
+        return pd.DataFrame(columns=cols)
+    proto = next(iter(grouped.values()))["topk"]
+    first = np.datetime64(min(grouped), "D")
+    last = np.datetime64(max(grouped), "D")
+    one = np.timedelta64(1, "D")
+    rows = []
+    end = first + (window_days - 1) * one
+    while end <= last:
+        start = end - (window_days - 1) * one
+        acc = proto.empty_like()
+        d = start
+        while d <= end:
+            g = grouped.get(str(d))
+            if g is not None:
+                acc.merge(g["topk"])
+            d = d + one
+        for rank, (uid, lo, hi) in enumerate(acc.topk(m), 1):
+            rows.append(
+                (str(start), str(end), np.int64(rank), np.int64(uid),
+                 np.int64(lo), np.int64(hi))
+            )
+        end = end + one
+    return pd.DataFrame(rows, columns=cols)
+
+
 def bloom_doc_membership(sf_dir: str) -> pd.DataFrame:
     rep = build_all(sf_dir)
     bloom = rep["bloom"]

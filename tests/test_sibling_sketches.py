@@ -1016,3 +1016,38 @@ def test_source_topk_words_containment(ray_session):
     for src, g in out.groupby("source"):
         assert list(g["rnk"]) == list(range(1, len(g) + 1))
         assert (np.diff(g["count_upper"].to_numpy()) <= 0).all()
+
+
+def test_weekly_top_users_containment(ray_session):
+    """Windowed MG: each (window, user) [lower, upper] must contain the
+    exact event count of that user within the window's calendar days,
+    and windows must span exactly 7 calendar days."""
+    import duckdb
+
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        weekly_top_users,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = weekly_top_users(sf, window_days=7, m=5)
+    assert len(out) > 0
+    spans = np.array(out["window_end"], dtype="datetime64[D]") - np.array(
+        out["window_start"], dtype="datetime64[D]"
+    )
+    assert (spans == np.timedelta64(6, "D")).all()
+    exact = duckdb.sql(
+        f"""SELECT CAST(ts AS DATE) AS day, user_id, COUNT(*) AS cnt
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2"""
+    ).df()
+    exact["day"] = np.array(exact["day"], dtype="datetime64[D]")
+    for (ws, we), g in out.groupby(["window_start", "window_end"]):
+        lo_d = np.datetime64(ws, "D")
+        hi_d = np.datetime64(we, "D")
+        in_win = exact[(exact["day"] >= lo_d) & (exact["day"] <= hi_d)]
+        truth = in_win.groupby("user_id")["cnt"].sum()
+        for _, r in g.iterrows():
+            true_cnt = int(truth.get(int(r["user_id"]), 0))
+            assert r["count_lower"] <= true_cnt <= r["count_upper"], (
+                ws, we, r["user_id"], true_cnt,
+                r["count_lower"], r["count_upper"],
+            )

@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": textpipe.bm25_topk,
         "events_value_ntile": analytics.events_value_ntile,
         "local_supplier_volume": analytics.local_supplier_volume,
+        "curate_by_perplexity": textpipe.curate_by_perplexity,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
         "lang_quality": textpipe.lang_quality,
@@ -134,11 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": analytics.dedup_exact,
         "token_count_regex": textpipe.token_count_regex,
         "source_token_totals": analytics.source_token_totals,
-        "clean_corpus": textpipe.clean_corpus,
         # ^ cap boundary (50 entries above): everything below has the
         # strongest existing record (one or two green driver rows) or
         # is rows-only
         # --- SQL-checked, green driver row(s), past cap ---
+        "clean_corpus": textpipe.clean_corpus,
         "events_sessions": analytics.events_sessions,
         "events_sliding": analytics.events_sliding,
         "events_asof_join": analytics.events_asof_join,
@@ -265,6 +266,23 @@ def _bm25_oracle(k: int = 10) -> str:
 def oracle_sql() -> dict[str, str]:
     words = (
         "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+    )
+    # shared bigram-LM CTE chain (doc_perplexity + curate_by_perplexity)
+    ppl_cte = (
+        "WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ws FROM documents), "
+        "bg AS (SELECT doc_id, "
+        "unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bigram, "
+        "unnest([ws[i] FOR i IN range(1, len(ws))]) AS tok_a FROM ws), "
+        "cab AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab "
+        "FROM bg GROUP BY bigram), "
+        "ucnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM (SELECT unnest(ws) AS token FROM ws) GROUP BY token), "
+        "v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ucnt), "
+        "per AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "SUM(LN(c.c_ab + 1) - LN(u.cnt + v.v)) AS lp "
+        "FROM bg b JOIN cab c USING (bigram) "
+        "JOIN ucnt u ON u.token = b.tok_a CROSS JOIN v GROUP BY b.doc_id)"
     )
     return {
         "token_counts": (
@@ -393,22 +411,21 @@ def oracle_sql() -> dict[str, str]:
         # add-one-smoothed bigram-LM perplexity; logs are irrational so
         # both sides ROUND(·,6) (sum-order jitter ~1e-13 vs 5e-7 slack)
         "doc_perplexity": (
-            "WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), "
-            "x -> x <> '') AS ws FROM documents), "
-            "bg AS (SELECT doc_id, "
-            "unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bigram, "
-            "unnest([ws[i] FOR i IN range(1, len(ws))]) AS tok_a FROM ws), "
-            "cab AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab "
-            "FROM bg GROUP BY bigram), "
-            "ucnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt "
-            "FROM (SELECT unnest(ws) AS token FROM ws) GROUP BY token), "
-            "v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ucnt), "
-            "per AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
-            "SUM(LN(c.c_ab + 1) - LN(u.cnt + v.v)) AS lp "
-            "FROM bg b JOIN cab c USING (bigram) "
-            "JOIN ucnt u ON u.token = b.tok_a CROSS JOIN v GROUP BY b.doc_id) "
+            f"{ppl_cte} "
             "SELECT doc_id, n_bigrams, ROUND(lp / n_bigrams, 6) AS avg_logprob, "
             "ROUND(EXP(-(lp / n_bigrams)), 6) AS ppl FROM per"
+        ),
+        # the C4/CCNet filter step: filter + average over the SAME
+        # rounded doc-level ppl on both sides
+        "curate_by_perplexity": (
+            f"{ppl_cte}, "
+            "ppl AS (SELECT doc_id, ROUND(EXP(-(lp / n_bigrams)), 6) AS ppl "
+            "FROM per) "
+            "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CAST(ROUND(p.ppl * 1000000, 0) AS BIGINT)) AS DOUBLE) "
+            "/ (COUNT(*) * 1000000.0) AS mean_ppl "
+            "FROM ppl p JOIN documents d USING (doc_id) "
+            "WHERE p.ppl <= 30.0 GROUP BY d.source"
         ),
         # BM25 with RSJ idf; ranking on (ROUND(score,6) DESC, doc_id)
         # both sides so libm jitter cannot flip ranks

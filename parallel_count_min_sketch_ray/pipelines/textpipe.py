@@ -701,6 +701,9 @@ def curate_corpus(
 # ---------------------------------------------------------------------------
 
 
+_ppl_cache: dict[tuple, object] = {}
+
+
 def doc_perplexity(sf_dir: str):
     """Per-document add-one-smoothed bigram-LM perplexity — the
     LM-based quality filter of CCNet/C4-style curation (Wenzek et al.
@@ -740,10 +743,20 @@ def doc_perplexity(sf_dir: str):
     """
     import pandas as pd
 
-    from parallel_count_min_sketch_ray.pipelines.analytics import token_counts
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        _cache_key,
+        token_counts,
+    )
     from parallel_count_min_sketch_ray.stages.partitioning import (
         num_shuffle_buckets,
     )
+
+    # memoized materialized per (sf_dir, job): doc_perplexity and
+    # curate_by_perplexity both consume the identical score table
+    key = _cache_key(sf_dir)
+    cached = _ppl_cache.get(key)
+    if cached is not None:
+        return cached
 
     n_buckets = num_shuffle_buckets()
     uni = token_counts(sf_dir)
@@ -916,13 +929,16 @@ def doc_perplexity(sf_dir: str):
     pairs_ds = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         doc_pairs, batch_format="pyarrow"
     )
-    return (
+    out = (
         pairs_ds.groupby("bucket")
         .map_groups(score_bucket, batch_format="pandas")
         .map_batches(doc_bucketed, batch_format="pyarrow")
         .groupby("doc_bucket")
         .map_groups(finalize_bucket, batch_format="pandas")
+        .materialize()
     )
+    _ppl_cache[key] = out
+    return out
 
 
 # Probe retrieval queries over the synthetic pipeline-vocab corpus
@@ -1040,3 +1056,72 @@ def bm25_topk(
     return top[["query_id", "query", "doc_id", "rnk", "score"]].astype(
         {"query_id": np.int64, "doc_id": np.int64, "rnk": np.int64}
     )
+
+
+def curate_by_perplexity(sf_dir: str, max_ppl: float = 30.0):
+    """LM-perplexity curation — the C4/CCNet filter step composed from
+    :func:`doc_perplexity`: keep documents whose bigram-LM perplexity
+    is ≤ ``max_ppl``, report per-source survivors and their mean
+    perplexity.  The per-doc score table joins ``documents`` for the
+    source label via the native hash join (both sides narrow; the
+    doc→source map is corpus-sized, so no broadcast), then reduces per
+    source.
+
+    Both sides filter on the SAME ROUND(·, 6) doc-level ppl; the mean
+    then runs on exact integer micro-ppl (ppl·1e6 is integer-valued
+    after the rounding) with ONE final division — bit-identical
+    doubles, no second rounding.  (A ROUND(mean, 6) here actually
+    mismatched in testing: means of 6-decimal values land exactly on
+    half boundaries, where numpy's banker rounding and SQL's
+    half-away-from-zero disagree.)
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        _join_partitions,
+        read,
+    )
+
+    scored = doc_perplexity(sf_dir)
+    src = read(sf_dir, "documents", ["doc_id", "source"])
+    joined = scored.join(
+        src,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, ["documents"]),
+        on=("doc_id",),
+    )
+
+    def surviving(batch: pa.Table) -> pa.Table:
+        ppl = batch["ppl"].to_numpy(zero_copy_only=False)
+        keep = ppl <= max_ppl
+        t = batch.filter(pa.array(keep))
+        micro = np.rint(ppl[keep] * 1e6).astype(np.int64)
+        return _group_sum(
+            pa.table(
+                {
+                    "source": t["source"],
+                    "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "ppl_micro": pa.array(micro, pa.int64()),
+                }
+            ),
+            ["source"],
+        )
+
+    agg = (
+        joined.map_batches(surviving, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("ppl_micro", alias_name="ppl_micro"),
+        )
+        .to_pandas()
+    )
+    agg["mean_ppl"] = agg["ppl_micro"].to_numpy().astype(np.float64) / (
+        agg["n_docs"].to_numpy().astype(np.float64) * 1e6
+    )
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    return agg[["source", "n_docs", "mean_ppl"]].sort_values(
+        "source"
+    ).reset_index(drop=True)

@@ -123,6 +123,7 @@ def _to_pandas(res):
         "bm25_topk",
         "events_value_ntile",
         "local_supplier_volume",
+        "curate_by_perplexity",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

@@ -306,20 +306,22 @@ def daily_distinct_users(sf_dir: str) -> pd.DataFrame:
 _daily_hll_cache: dict[tuple, dict] = {}
 
 
-def _daily_user_hlls(sf_dir: str) -> dict:
-    """Per-day user HLLs through the keyed merge tree (shared by the
-    daily and the sliding-window queries; memoized per (sf_dir, job) —
-    the point of the composition is ONE build, many window queries)."""
+def _daily_user_sketches(
+    sf_dir: str, name: str, proto, cache: dict, extra_key: tuple = ()
+) -> dict:
+    """Per-day per-user-event sketches through the keyed merge tree —
+    the shared builder of the daily/sliding window queries (memoized
+    per (sf_dir, job) — the point of the composition is ONE build,
+    many window queries)."""
     import ray as _ray
 
     from parallel_count_min_sketch_ray.pipelines.sketch_build import (
         build_sketches_by_key,
     )
-    from parallel_count_min_sketch_ray.state.hll import HyperLogLog
 
     job = _ray.get_runtime_context().get_job_id() if _ray.is_initialized() else None
-    key = (sf_dir, job)
-    cached = _daily_hll_cache.get(key)
+    key = (sf_dir, job) + extra_key
+    cached = cache.get(key)
     if cached is not None:
         return cached
 
@@ -331,11 +333,40 @@ def _daily_user_hlls(sf_dir: str) -> dict:
         with_day, batch_format="pyarrow"
     )
     grouped = build_sketches_by_key(
-        ds, "day", [SketchSpec("hll", HyperLogLog(p=12, seed=SEED), "user_id",
-                               kind="numeric")]
+        ds, "day", [SketchSpec(name, proto, "user_id", kind="numeric")]
     )
-    _daily_hll_cache[key] = grouped
+    cache[key] = grouped
     return grouped
+
+
+def _calendar_window_merges(grouped: dict, name: str, window_days: int):
+    """Slide over CALENDAR days (a gap day — no events — must not widen
+    the window beyond ``window_days`` calendar days), merging only the
+    days that have state; yields (start_str, end_str, merged_sketch)."""
+    proto = next(iter(grouped.values()))[name]
+    first = np.datetime64(min(grouped), "D")
+    last = np.datetime64(max(grouped), "D")
+    one = np.timedelta64(1, "D")
+    end = first + (window_days - 1) * one
+    while end <= last:
+        start = end - (window_days - 1) * one
+        acc = proto.empty_like()
+        d = start
+        while d <= end:
+            g = grouped.get(str(d))
+            if g is not None:
+                acc.merge(g[name])
+            d = d + one
+        yield str(start), str(end), acc
+        end = end + one
+
+
+def _daily_user_hlls(sf_dir: str) -> dict:
+    from parallel_count_min_sketch_ray.state.hll import HyperLogLog
+
+    return _daily_user_sketches(
+        sf_dir, "hll", HyperLogLog(p=12, seed=SEED), _daily_hll_cache
+    )
 
 
 def weekly_distinct_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
@@ -351,26 +382,12 @@ def weekly_distinct_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
         return pd.DataFrame(
             columns=["window_start", "window_end", "distinct_users_estimate"]
         )
-    # slide over CALENDAR days (a gap day — no events — must not widen
-    # the window beyond window_days calendar days), merging only the
-    # days that have state
-    proto = next(iter(grouped.values()))["hll"]
-    first = np.datetime64(min(grouped), "D")
-    last = np.datetime64(max(grouped), "D")
-    one = np.timedelta64(1, "D")
-    rows = []
-    end = first + (window_days - 1) * one
-    while end <= last:
-        start = end - (window_days - 1) * one
-        acc = proto.empty_like()
-        d = start
-        while d <= end:
-            g = grouped.get(str(d))
-            if g is not None:
-                acc.merge(g["hll"])
-            d = d + one
-        rows.append((str(start), str(end), float(acc.estimate())))
-        end = end + one
+    rows = [
+        (start, end, float(acc.estimate()))
+        for start, end, acc in _calendar_window_merges(
+            grouped, "hll", window_days
+        )
+    ]
     return pd.DataFrame(
         rows, columns=["window_start", "window_end", "distinct_users_estimate"]
     )
@@ -380,34 +397,11 @@ _daily_topk_cache: dict[tuple, dict] = {}
 
 
 def _daily_user_topks(sf_dir: str, k: int = 256) -> dict:
-    """Per-day user Misra–Gries sketches through the keyed merge tree
-    (memoized per (sf_dir, job) — same policy as ``_daily_user_hlls``)."""
-    import ray as _ray
-
-    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
-        build_sketches_by_key,
-    )
     from parallel_count_min_sketch_ray.state.topk import TopKSketch
 
-    job = _ray.get_runtime_context().get_job_id() if _ray.is_initialized() else None
-    key = (sf_dir, job, k)
-    cached = _daily_topk_cache.get(key)
-    if cached is not None:
-        return cached
-
-    def with_day(batch: pa.Table) -> pa.Table:
-        day = pa.compute.strftime(batch["ts"], format="%Y-%m-%d")
-        return pa.table({"day": day, "user_id": batch["user_id"]})
-
-    ds = read(sf_dir, "events", ["ts", "user_id"]).map_batches(
-        with_day, batch_format="pyarrow"
+    return _daily_user_sketches(
+        sf_dir, "topk", TopKSketch(k=k), _daily_topk_cache, extra_key=(k,)
     )
-    grouped = build_sketches_by_key(
-        ds, "day", [SketchSpec("topk", TopKSketch(k=k), "user_id",
-                               kind="numeric")]
-    )
-    _daily_topk_cache[key] = grouped
-    return grouped
 
 
 def weekly_top_users(
@@ -430,27 +424,13 @@ def weekly_top_users(
             "count_lower", "count_upper"]
     if not grouped:
         return pd.DataFrame(columns=cols)
-    proto = next(iter(grouped.values()))["topk"]
-    first = np.datetime64(min(grouped), "D")
-    last = np.datetime64(max(grouped), "D")
-    one = np.timedelta64(1, "D")
     rows = []
-    end = first + (window_days - 1) * one
-    while end <= last:
-        start = end - (window_days - 1) * one
-        acc = proto.empty_like()
-        d = start
-        while d <= end:
-            g = grouped.get(str(d))
-            if g is not None:
-                acc.merge(g["topk"])
-            d = d + one
+    for start, end, acc in _calendar_window_merges(grouped, "topk", window_days):
         for rank, (uid, lo, hi) in enumerate(acc.topk(m), 1):
             rows.append(
-                (str(start), str(end), np.int64(rank), np.int64(uid),
+                (start, end, np.int64(rank), np.int64(uid),
                  np.int64(lo), np.int64(hi))
             )
-        end = end + one
     return pd.DataFrame(rows, columns=cols)
 
 
@@ -670,9 +650,18 @@ def source_token_divergence(
     # only the two compared sources matter: filter BEFORE the keyed
     # build — the per-(block, key) CSK partials are 448 KB each, so an
     # unfiltered 20-source build shuffles ~10× the partial volume it
-    # uses (measured 31 s late-suite vs ~1.5 s filtered)
-    ds = tokenized_documents(sf_dir).filter(
-        expr=f"source == '{src_a}' or source == '{src_b}'"
+    # uses (measured 31 s late-suite vs ~1.5 s filtered).  Vectorized
+    # Arrow is_in, not an interpolated expr string (a source name with
+    # a quote must not change the predicate).
+    import pyarrow.compute as pc
+
+    wanted = pa.array([src_a, src_b], pa.string())
+
+    def _two_sources(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["source"], value_set=wanted))
+
+    ds = tokenized_documents(sf_dir).map_batches(
+        _two_sources, batch_format="pyarrow"
     )
     grouped = build_sketches_by_key(
         ds,

@@ -976,8 +976,6 @@ def bm25_topk(
     cross-engine libm/sum-order jitter (~1e-15 relative) cannot flip
     the ranking.
     """
-    import pandas as pd
-
     from ray.data.aggregate import Sum
 
     terms = sorted({t for q in queries for t in q.split()})
@@ -1075,9 +1073,7 @@ def curate_by_perplexity(sf_dir: str, max_ppl: float = 30.0):
     half boundaries, where numpy's banker rounding and SQL's
     half-away-from-zero disagree.)
     """
-    import pandas as pd
-
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from parallel_count_min_sketch_ray.pipelines.analytics import (
         _join_partitions,

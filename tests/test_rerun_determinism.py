@@ -40,7 +40,17 @@ def _clear_memo_caches():
     sketch_queries._tokenized_cache.clear()
     sketch_queries._BUILD_CACHE.clear()
     sketch_queries._daily_hll_cache.clear()
+    sketch_queries._daily_topk_cache.clear()
     textpipe._contamination_cache.clear()
+    textpipe._ppl_cache.clear()
+    # guard against the next memo being forgotten here: every module
+    # attribute that looks like a memo dict must be covered above
+    for mod in (analytics, dedup, sketch_queries, textpipe):
+        for name in dir(mod):
+            if name.endswith(("_cache", "_CACHE")) and isinstance(
+                getattr(mod, name), dict
+            ):
+                getattr(mod, name).clear()
 
 
 def _canonical(res) -> pd.DataFrame:

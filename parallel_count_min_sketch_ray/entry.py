@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ntile": analytics.events_value_ntile,
         "local_supplier_volume": analytics.local_supplier_volume,
         "curate_by_perplexity": textpipe.curate_by_perplexity,
+        "chunk_documents": textpipe.chunk_documents,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
         "lang_quality": textpipe.lang_quality,
@@ -134,11 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": analytics.lang_source_counts,
         "dedup_exact": analytics.dedup_exact,
         "token_count_regex": textpipe.token_count_regex,
-        "source_token_totals": analytics.source_token_totals,
         # ^ cap boundary (50 entries above): everything below has the
         # strongest existing record (one or two green driver rows) or
         # is rows-only
         # --- SQL-checked, green driver row(s), past cap ---
+        "source_token_totals": analytics.source_token_totals,
         "clean_corpus": textpipe.clean_corpus,
         "events_sessions": analytics.events_sessions,
         "events_sliding": analytics.events_sliding,
@@ -430,6 +431,19 @@ def oracle_sql() -> dict[str, str]:
         # BM25 with RSJ idf; ranking on (ROUND(score,6) DESC, doc_id)
         # both sides so libm jitter cannot flip ranks
         "bm25_topk": _bm25_oracle(),
+        # context chunking: sliding token windows, stride 48 (64-16);
+        # integer-exact boundary tokens both sides
+        "chunk_documents": (
+            "WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS ws FROM documents), "
+            "st AS (SELECT doc_id, ws, "
+            "unnest(range(1, len(ws) + 1, 48)) AS start FROM ws) "
+            "SELECT doc_id, CAST((start - 1) / 48 AS BIGINT) AS chunk_idx, "
+            "CAST(len(list_slice(ws, start, least(start + 63, len(ws)))) "
+            "AS BIGINT) AS n_tok, "
+            "ws[start] AS first_token, "
+            "ws[least(start + 63, len(ws))] AS last_token FROM st"
+        ),
         # NTILE with a unique tiebreak — integer-exact on both sides
         "events_value_ntile": (
             "SELECT event_id, event_type, value, "

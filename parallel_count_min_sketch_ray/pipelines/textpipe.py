@@ -1121,3 +1121,56 @@ def curate_by_perplexity(sf_dir: str, max_ppl: float = 30.0):
     return agg[["source", "n_docs", "mean_ppl"]].sort_values(
         "source"
     ).reset_index(drop=True)
+
+
+def chunk_documents(sf_dir: str, chunk: int = 64, overlap: int = 16):
+    """Context chunking — split each document's token stream into
+    fixed-size windows with overlap (stride ``chunk - overlap``), the
+    one→many flat-map a training pipeline runs before packing.  Docs
+    shorter than ``chunk`` emit one short chunk; a trailing window
+    shorter than ``overlap``'s complement still emits (standard sliding
+    semantics, identical on the SQL side via ``range(1, len+1,
+    stride)`` + ``list_slice``).
+
+    Embarrassingly parallel: one scan, no shuffle; the per-batch
+    expansion is pure offset arithmetic (repeat/arange over the word
+    list offsets) + two vectorized takes — no per-doc Python.  The
+    output stays narrow (ids + boundary tokens), so the expansion
+    factor costs bytes proportional to chunks, not re-copied text.
+    """
+    if overlap >= chunk:
+        raise ValueError("overlap must be smaller than chunk")
+    stride = chunk - overlap
+
+    def expand(batch: pa.Table) -> pa.Table:
+        lists = textops.split_words(batch["text"])
+        off = np.asarray(lists.offsets, dtype=np.int64)
+        flat = lists.flatten()
+        lens = np.diff(off)
+        n_chunks = np.where(lens > 0, (np.maximum(lens, 1) - 1) // stride + 1, 0)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rep_doc = np.repeat(doc_ids, n_chunks)
+        rep_len = np.repeat(lens, n_chunks)
+        rep_base = np.repeat(off[:-1], n_chunks)
+        total = int(n_chunks.sum())
+        # chunk_idx = 0..n_chunks-1 within each doc
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        start = chunk_idx * stride
+        n_tok = np.minimum(start + chunk, rep_len) - start
+        first = flat.take(pa.array(rep_base + start))
+        last = flat.take(pa.array(rep_base + start + n_tok - 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_doc, pa.int64()),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "n_tok": pa.array(n_tok, pa.int64()),
+                "first_token": first,
+                "last_token": last,
+            }
+        )
+
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        expand, batch_format="pyarrow"
+    )

@@ -124,6 +124,7 @@ def _to_pandas(res):
         "events_value_ntile",
         "local_supplier_volume",
         "curate_by_perplexity",
+        "chunk_documents",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": analytics.local_supplier_volume,
         "curate_by_perplexity": textpipe.curate_by_perplexity,
         "chunk_documents": textpipe.chunk_documents,
+        "source_fertility": textpipe.source_fertility,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
         "lang_quality": textpipe.lang_quality,
@@ -134,11 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": analytics.doc_token_stats,
         "lang_source_counts": analytics.lang_source_counts,
         "dedup_exact": analytics.dedup_exact,
-        "token_count_regex": textpipe.token_count_regex,
         # ^ cap boundary (50 entries above): everything below has the
         # strongest existing record (one or two green driver rows) or
         # is rows-only
         # --- SQL-checked, green driver row(s), past cap ---
+        "token_count_regex": textpipe.token_count_regex,
         "source_token_totals": analytics.source_token_totals,
         "clean_corpus": textpipe.clean_corpus,
         "events_sessions": analytics.events_sessions,
@@ -431,6 +432,19 @@ def oracle_sql() -> dict[str, str]:
         # BM25 with RSJ idf; ranking on (ROUND(score,6) DESC, doc_id)
         # both sides so libm jitter cannot flip ranks
         "bm25_topk": _bm25_oracle(),
+        # per-source tokenizer fertility: integer sums, one division
+        "source_fertility": (
+            "WITH w AS (SELECT source, "
+            "len(regexp_extract_all(text, "
+            r"'[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe, "
+            "len(list_filter(string_split(text, ' '), x -> x <> '')) "
+            "AS n_words FROM documents) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_bpe) AS BIGINT) AS n_bpe, "
+            "CAST(SUM(n_words) AS BIGINT) AS n_words, "
+            "CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) "
+            "AS fertility FROM w GROUP BY source"
+        ),
         # context chunking: sliding token windows, stride 48 (64-16);
         # integer-exact boundary tokens both sides
         "chunk_documents": (

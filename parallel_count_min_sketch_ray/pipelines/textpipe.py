@@ -1174,3 +1174,54 @@ def chunk_documents(sf_dir: str, chunk: int = 64, overlap: int = 16):
     return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         expand, batch_format="pyarrow"
     )
+
+
+def source_fertility(sf_dir: str, pattern: str = BPE_ISH_PATTERN):
+    """Per-source tokenizer fertility — BPE-ish tokens per whitespace
+    word (the tokenizer-health metric a multilingual curation pipeline
+    tracks per crawl source: fertility creep flags content the
+    tokenizer fragments badly).  One scan, integer partials per
+    (block, source), a |sources|-row shuffle, ONE final division —
+    bit-exact doubles against the SQL oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bpe = pc.count_substring_regex(col, pattern).cast(pa.int64())
+        words = textops.word_count(batch["text"])
+        return _group_sum(
+            pa.table(
+                {
+                    "source": batch["source"],
+                    "n_bpe": bpe,
+                    "n_words": pa.array(words, pa.int64()),
+                    "n_docs": pa.array(
+                        np.ones(batch.num_rows, dtype=np.int64)
+                    ),
+                }
+            ),
+            ["source"],
+        )
+
+    agg = (
+        read(sf_dir, "documents", ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_bpe", alias_name="n_bpe"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    agg["fertility"] = agg["n_bpe"].to_numpy().astype(np.float64) / agg[
+        "n_words"
+    ].to_numpy().astype(np.float64)
+    for c in ("n_bpe", "n_words", "n_docs"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg[["source", "n_docs", "n_bpe", "n_words", "fertility"]].sort_values(
+        "source"
+    ).reset_index(drop=True)

@@ -125,6 +125,7 @@ def _to_pandas(res):
         "local_supplier_volume",
         "curate_by_perplexity",
         "chunk_documents",
+        "source_fertility",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

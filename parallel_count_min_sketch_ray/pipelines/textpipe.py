@@ -1147,7 +1147,7 @@ def chunk_documents(sf_dir: str, chunk: int = 64, overlap: int = 16):
         off = np.asarray(lists.offsets, dtype=np.int64)
         flat = lists.flatten()
         lens = np.diff(off)
-        n_chunks = np.where(lens > 0, (np.maximum(lens, 1) - 1) // stride + 1, 0)
+        n_chunks = np.where(lens > 0, (lens - 1) // stride + 1, 0)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         rep_doc = np.repeat(doc_ids, n_chunks)
         rep_len = np.repeat(lens, n_chunks)
@@ -1217,9 +1217,13 @@ def source_fertility(sf_dir: str, pattern: str = BPE_ISH_PATTERN):
         )
         .to_pandas()
     )
-    agg["fertility"] = agg["n_bpe"].to_numpy().astype(np.float64) / agg[
-        "n_words"
-    ].to_numpy().astype(np.float64)
+    # an all-empty source gives 0/0 → NaN (n_bpe>0, n_words=0 → inf);
+    # DuckDB's double division produces the identical values, so parity
+    # holds — just silence numpy's RuntimeWarning
+    with np.errstate(divide="ignore", invalid="ignore"):
+        agg["fertility"] = agg["n_bpe"].to_numpy().astype(np.float64) / agg[
+            "n_words"
+        ].to_numpy().astype(np.float64)
     for c in ("n_bpe", "n_words", "n_docs"):
         agg[c] = agg[c].astype(np.int64)
     return agg[["source", "n_docs", "n_bpe", "n_words", "fertility"]].sort_values(

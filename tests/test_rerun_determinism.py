@@ -35,16 +35,9 @@ def _clear_memo_caches():
         textpipe,
     )
 
-    analytics._token_counts_cache.clear()
-    dedup._ngram_pairs_cache.clear()
-    sketch_queries._tokenized_cache.clear()
-    sketch_queries._BUILD_CACHE.clear()
-    sketch_queries._daily_hll_cache.clear()
-    sketch_queries._daily_topk_cache.clear()
-    textpipe._contamination_cache.clear()
-    textpipe._ppl_cache.clear()
-    # guard against the next memo being forgotten here: every module
-    # attribute that looks like a memo dict must be covered above
+    # clear every module attribute that looks like a memo dict — the
+    # generic sweep means a newly added memo can't silently make this
+    # test vacuous (naming contract: memo dicts end in _cache/_CACHE)
     for mod in (analytics, dedup, sketch_queries, textpipe):
         for name in dir(mod):
             if name.endswith(("_cache", "_CACHE")) and isinstance(

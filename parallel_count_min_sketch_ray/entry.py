@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_by_perplexity": textpipe.curate_by_perplexity,
         "chunk_documents": textpipe.chunk_documents,
         "source_fertility": textpipe.source_fertility,
+        "returned_item_revenue": analytics.returned_item_revenue,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
         "lang_quality": textpipe.lang_quality,
@@ -134,11 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SQL-checked, two driver green rows (r2+r3) ---
         "doc_token_stats": analytics.doc_token_stats,
         "lang_source_counts": analytics.lang_source_counts,
-        "dedup_exact": analytics.dedup_exact,
         # ^ cap boundary (50 entries above): everything below has the
         # strongest existing record (one or two green driver rows) or
         # is rows-only
         # --- SQL-checked, green driver row(s), past cap ---
+        "dedup_exact": analytics.dedup_exact,
         "token_count_regex": textpipe.token_count_regex,
         "source_token_totals": analytics.source_token_totals,
         "clean_corpus": textpipe.clean_corpus,
@@ -432,6 +433,22 @@ def oracle_sql() -> dict[str, str]:
         # BM25 with RSJ idf; ranking on (ROUND(score,6) DESC, doc_id)
         # both sides so libm jitter cannot flip ranks
         "bm25_topk": _bm25_oracle(),
+        # TPC-H Q10: integer 1e-4-dollar revenue, tie-broken top-k
+        "returned_item_revenue": (
+            "WITH r AS (SELECT o_custkey, "
+            "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= DATE '1996-01-01' "
+            "AND o_orderdate < DATE '1996-04-01' GROUP BY o_custkey) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, c_custkey) "
+            "AS BIGINT) AS rnk, c_custkey, c_name, n_name, "
+            "CAST(rev AS DOUBLE) / 10000.0 AS revenue "
+            "FROM r JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY rev DESC, c_custkey) <= 20"
+        ),
         # per-source tokenizer fertility: integer sums, one division
         "source_fertility": (
             "WITH w AS (SELECT source, "

@@ -2627,6 +2627,123 @@ def local_supplier_volume(
     return out
 
 
+def returned_item_revenue(
+    sf_dir: str, date_from: str = "1996-01-01", k: int = 20
+):
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned
+    items in one quarter — the churn-analysis join
+    (customer⋈orders⋈lineitem⋈nation) with a deterministic top-k.
+
+    Plan: both fact scans push their predicates into parquet
+    (``l_returnflag = 'R'``, the quarter's date range) and pre-aggregate
+    per batch; the lineitem side joins as PARTIALS (no global
+    per-orderkey shuffle — the orders side is unique per orderkey, so
+    partial rev rows sum to the same per-customer total after the
+    join), then a coarse custkey-bucket segment reduce with per-bucket
+    top-k pruning (the ``doc_top_tfidf`` pattern; a direct
+    high-cardinality ``aggregate`` measured ~10× slower).  Only the k
+    winners are enriched with names: the customer/nation dimension
+    reads filter to exactly those k keys, so the driver never holds a
+    dimension table.  Revenue sums as integer 1e-4 dollars; ties rank
+    by ``c_custkey``.
+    """
+    from ray.data.aggregate import Sum
+
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        num_shuffle_buckets,
+    )
+
+    ts_from = pd.Timestamp(date_from)
+    ts_to = ts_from + pd.DateOffset(months=3)
+    n_buckets = num_shuffle_buckets()
+
+    def line_rev(batch: pa.Table) -> pa.Table:
+        ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev": pa.array(ext_c * (100 - disc_c), pa.int64()),
+            }
+        )
+        return _group_sum(t, ["l_orderkey"])
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",
+    ).map_batches(line_rev, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= ts_from)
+        & (pc.field("o_orderdate") < ts_to),
+    )
+
+    # materialize the join output before the second all-to-all: chained
+    # lazy all-to-alls re-execute the upstream scans in the sample
+    # phase (measured 9-13 s vs ~4 s split); the pinned intermediate is
+    # bounded by the quarter's returned line items, not the corpus
+    joined = lineitem.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, ["orders", "lineitem"]),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).materialize()
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = _group_sum(
+            batch.select(["o_custkey", "rev"]), ["o_custkey"]
+        )
+        b = g["o_custkey"].to_numpy(zero_copy_only=False) % np.int64(n_buckets)
+        return g.append_column("bucket", pa.array(b, pa.int64()))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["o_custkey"].to_numpy()
+        o = np.argsort(ck, kind="stable")
+        ck_s = ck[o]
+        starts = np.r_[0, np.flatnonzero(np.diff(ck_s)) + 1]
+        rev = np.add.reduceat(g["rev"].to_numpy()[o], starts)
+        # per-bucket prune to the global top-k candidates (any global
+        # winner is a winner of its bucket, so ≤ buckets·k rows move)
+        order = np.lexsort((ck_s[starts], -rev))[:k]
+        return pd.DataFrame(
+            {"c_custkey": ck_s[starts][order], "rev": rev[order]}
+        )
+
+    cand = (
+        joined.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["rev", "c_custkey"], ascending=[False, True]
+    ).head(k)
+    keys = cand["c_custkey"].to_numpy().astype(np.int64)
+
+    # enrich ONLY the winners (k rows) with names
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=pc.field("c_custkey").isin(keys.tolist()),
+    ).to_pandas()
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = cand.merge(cust, on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out["revenue"] = out["rev"].to_numpy().astype(np.float64) / 10000.0
+    out = out.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rnk", "c_custkey", "c_name", "n_name", "revenue"]]
+
+
 def corpus_sample(sf_dir: str, n: int = 50):
     """Deterministic uniform corpus sample: the n docs with the
     smallest md5(doc_id) — coordination-free (any rerun, any node, and

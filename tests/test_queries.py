@@ -126,6 +126,7 @@ def _to_pandas(res):
         "curate_by_perplexity",
         "chunk_documents",
         "source_fertility",
+        "returned_item_revenue",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

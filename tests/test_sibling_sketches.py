@@ -1051,3 +1051,38 @@ def test_weekly_top_users_containment(ray_session):
                 ws, we, r["user_id"], true_cnt,
                 r["count_lower"], r["count_upper"],
             )
+
+
+def test_calendar_window_merges_gap_days():
+    """A day with no state must still advance the calendar window (gap
+    days never widen the window) — fabricated per-day MG dicts with a
+    3-day hole."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        _calendar_window_merges,
+    )
+    from parallel_count_min_sketch_ray.state.topk import TopKSketch
+
+    def day_sketch(items):
+        sk = TopKSketch(k=8)
+        sk.update(np.array(items, dtype=np.int64))
+        return {"topk": sk}
+
+    grouped = {
+        "2020-01-01": day_sketch([1, 1, 2]),
+        "2020-01-05": day_sketch([2, 3]),
+    }
+    wins = list(_calendar_window_merges(grouped, "topk", 3))
+    # first window ends at first+2 = 01-03; last at 01-05
+    assert [(w[0], w[1]) for w in wins] == [
+        ("2020-01-01", "2020-01-03"),
+        ("2020-01-02", "2020-01-04"),
+        ("2020-01-03", "2020-01-05"),
+    ]
+    # window 1 sees only day 1; window 2 sees NO days (all counts
+    # empty); window 3 sees only day 5
+    def counts(acc):
+        return {t: lo for t, lo, _ in acc.topk()}
+
+    assert counts(wins[0][2]) == {1: 2, 2: 1}
+    assert counts(wins[1][2]) == {}
+    assert counts(wins[2][2]) == {2: 1, 3: 1}

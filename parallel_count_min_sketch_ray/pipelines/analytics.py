@@ -2647,8 +2647,6 @@ def returned_item_revenue(
     dimension table.  Revenue sums as integer 1e-4 dollars; ties rank
     by ``c_custkey``.
     """
-    from ray.data.aggregate import Sum
-
     from parallel_count_min_sketch_ray.stages.partitioning import (
         num_shuffle_buckets,
     )
@@ -2681,6 +2679,13 @@ def returned_item_revenue(
         & (pc.field("o_orderdate") < ts_to),
     )
 
+    out_cols = ["rnk", "c_custkey", "c_name", "n_name", "revenue"]
+    # an empty quarter yields a schema-less read that the join kernel
+    # rejects ("no match for key field") — return empty instead.  The
+    # count executes only the quarter-filtered orders scan (small).
+    if orders.count() == 0:
+        return pd.DataFrame(columns=out_cols)
+
     # materialize the join output before the second all-to-all: chained
     # lazy all-to-alls re-execute the upstream scans in the sample
     # phase (measured 9-13 s vs ~4 s split); the pinned intermediate is
@@ -2701,6 +2706,14 @@ def returned_item_revenue(
         return g.append_column("bucket", pa.array(b, pa.int64()))
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype=np.int64),
+                "rev": pd.Series([], dtype=np.int64),
+            }
+        )
+        if not len(g):  # an empty quarter must return empty, not crash
+            return empty
         ck = g["o_custkey"].to_numpy()
         o = np.argsort(ck, kind="stable")
         ck_s = ck[o]
@@ -2719,6 +2732,8 @@ def returned_item_revenue(
         .map_groups(reduce_bucket, batch_format="pandas")
         .to_pandas()
     )
+    if cand.empty:
+        return pd.DataFrame(columns=out_cols)
     cand = cand.sort_values(
         ["rev", "c_custkey"], ascending=[False, True]
     ).head(k)

@@ -654,3 +654,65 @@ def test_scan_spool_falls_back_to_pin_on_multinode(ray_session, monkeypatch):
     expect = out.sort_values(["k", "o"]).groupby("k")["v"].cumsum()
     assert (out.sort_values(["k", "o"])["cum"].to_numpy()
             == expect.to_numpy()).all()
+
+
+def test_chunk_documents_edge_corpus(ray_session, tmp_path):
+    """Adversarial chunking corpus vs the DuckDB oracle: empty docs,
+    whitespace-only, boundary lengths around the 48-token stride and
+    64-token window, multi-space runs."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_count_min_sketch_ray.pipelines.textpipe import chunk_documents
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": [
+                "",                      # empty → no chunks
+                " ",                     # whitespace-only → no chunks
+                "solo",                  # 1 token → 1 chunk
+                words(47, "a"),          # < stride
+                words(48, "b"),          # == stride → 1 chunk
+                words(49, "c"),          # stride+1 → 2 chunks
+                words(64, "d"),          # == window → 2 chunks (tail)
+                words(96, "e"),          # 2 strides
+                words(97, "f"),          # 2 strides + 1
+                "x  y   z",              # multi-space runs collapse
+            ],
+        }
+    )
+    p = tmp_path / "edge"
+    p.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), p / "documents.parquet")
+
+    got = (
+        chunk_documents(str(p))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
+            x -> x <> '') AS ws FROM read_parquet('{p}/documents.parquet')),
+            st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 48)) AS start
+                   FROM ws)
+            SELECT doc_id, CAST((start - 1) / 48 AS BIGINT) AS chunk_idx,
+            CAST(len(list_slice(ws, start, least(start + 63, len(ws))))
+            AS BIGINT) AS n_tok,
+            ws[start] AS first_token,
+            ws[least(start + 63, len(ws))] AS last_token
+            FROM st ORDER BY doc_id, chunk_idx"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # empty/whitespace docs emit nothing; the rest emit ceil(len/48)
+    assert set(got["doc_id"]) == {2, 3, 4, 5, 6, 7, 8, 9}

@@ -2594,6 +2594,9 @@ def local_supplier_volume(
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(line_rev, batch_format="pyarrow")
 
+    # no materialize here (unlike returned_item_revenue): the follow-up
+    # groupby has |nations| keys, and an A/B at sf0.1 measured no gain
+    # from splitting the plan — the pin would cost without paying
     joined = lineitem.join(
         orders,
         join_type="inner",

@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_distinct_users": sketch_queries.daily_distinct_users,
         "weekly_distinct_users": sketch_queries.weekly_distinct_users,
         "weekly_top_users": sketch_queries.weekly_top_users,
+        "weekly_value_quantiles": sketch_queries.weekly_value_quantiles,
         "ntok_range_mass": sketch_queries.ntok_range_mass,
         "bloom_doc_membership": sketch_queries.bloom_doc_membership,
         "bloom_semijoin_count": sketch_queries.bloom_semijoin_count,

@@ -307,9 +307,14 @@ _daily_hll_cache: dict[tuple, dict] = {}
 
 
 def _daily_user_sketches(
-    sf_dir: str, name: str, proto, cache: dict, extra_key: tuple = ()
+    sf_dir: str,
+    name: str,
+    proto,
+    cache: dict,
+    extra_key: tuple = (),
+    value_col: str = "user_id",
 ) -> dict:
-    """Per-day per-user-event sketches through the keyed merge tree —
+    """Per-day per-event-column sketches through the keyed merge tree —
     the shared builder of the daily/sliding window queries (memoized
     per (sf_dir, job) — the point of the composition is ONE build,
     many window queries)."""
@@ -320,20 +325,20 @@ def _daily_user_sketches(
     )
 
     job = _ray.get_runtime_context().get_job_id() if _ray.is_initialized() else None
-    key = (sf_dir, job) + extra_key
+    key = (sf_dir, job, value_col) + extra_key
     cached = cache.get(key)
     if cached is not None:
         return cached
 
     def with_day(batch: pa.Table) -> pa.Table:
         day = pa.compute.strftime(batch["ts"], format="%Y-%m-%d")
-        return pa.table({"day": day, "user_id": batch["user_id"]})
+        return pa.table({"day": day, value_col: batch[value_col]})
 
-    ds = read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+    ds = read(sf_dir, "events", ["ts", value_col]).map_batches(
         with_day, batch_format="pyarrow"
     )
     grouped = build_sketches_by_key(
-        ds, "day", [SketchSpec(name, proto, "user_id", kind="numeric")]
+        ds, "day", [SketchSpec(name, proto, value_col, kind="numeric")]
     )
     cache[key] = grouped
     return grouped
@@ -402,6 +407,41 @@ def _daily_user_topks(sf_dir: str, k: int = 256) -> dict:
     return _daily_user_sketches(
         sf_dir, "topk", TopKSketch(k=k), _daily_topk_cache, extra_key=(k,)
     )
+
+
+_daily_td_cache: dict[tuple, dict] = {}
+
+
+def weekly_value_quantiles(
+    sf_dir: str, window_days: int = 7, delta: int = 200
+) -> pd.DataFrame:
+    """SLIDING-window value quantiles from per-day t-digest state — the
+    third window-merge composition (HLL → distincts, MG → heavy
+    hitters, t-digest → quantiles): a window's p50/p90/p99 come from
+    merging its daily digests, so every window size replays off ONE
+    per-day build with zero extra passes over the events.  Calendar-day
+    sliding per the ``weekly_distinct_users`` contract.
+
+    Deterministic but interpolated (not SQL-expressible to
+    bit-equality); the per-window rank-error envelope vs the exact
+    window distribution is asserted in pytest."""
+    from parallel_count_min_sketch_ray.state.tdigest import TDigest
+
+    grouped = _daily_user_sketches(
+        sf_dir, "td", TDigest(delta=delta), _daily_td_cache,
+        extra_key=(delta,), value_col="value",
+    )
+    cols = ["window_start", "window_end", "n", "p50", "p90", "p99"]
+    if not grouped:
+        return pd.DataFrame(columns=cols)
+    rows = []
+    for start, end, acc in _calendar_window_merges(grouped, "td", window_days):
+        rows.append(
+            (start, end, np.int64(acc.n),
+             float(acc.quantile(0.5)), float(acc.quantile(0.9)),
+             float(acc.quantile(0.99)))
+        )
+    return pd.DataFrame(rows, columns=cols)
 
 
 def weekly_top_users(

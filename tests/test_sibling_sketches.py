@@ -1086,3 +1086,35 @@ def test_calendar_window_merges_gap_days():
     assert counts(wins[0][2]) == {1: 2, 2: 1}
     assert counts(wins[1][2]) == {}
     assert counts(wins[2][2]) == {2: 1, 3: 1}
+
+
+def test_weekly_value_quantiles_envelope(ray_session):
+    """Windowed t-digest: each window's p50/p90/p99 estimates must sit
+    within a 5% rank-error envelope of the exact per-window value
+    distribution, and merged n must equal the exact window row count."""
+    import duckdb
+
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        weekly_value_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = weekly_value_quantiles(sf, window_days=7)
+    assert len(out) > 0
+    ev = duckdb.sql(
+        f"SELECT CAST(ts AS DATE) AS day, value "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).df()
+    ev["day"] = np.array(ev["day"], dtype="datetime64[D]")
+    for _, r in out.iterrows():
+        lo = np.datetime64(r["window_start"], "D")
+        hi = np.datetime64(r["window_end"], "D")
+        vals = np.sort(
+            ev[(ev["day"] >= lo) & (ev["day"] <= hi)]["value"].to_numpy()
+        )
+        assert r["n"] == len(vals)
+        if not len(vals):
+            continue
+        for q, est in ((0.5, r["p50"]), (0.9, r["p90"]), (0.99, r["p99"])):
+            rank = np.searchsorted(vals, est, side="right") / len(vals)
+            assert abs(rank - q) <= 0.05, (r["window_start"], q, est, rank)

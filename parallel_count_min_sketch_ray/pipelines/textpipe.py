@@ -6,6 +6,7 @@ runs before/alongside the sketches."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -14,7 +15,10 @@ import ray
 from parallel_count_min_sketch_ray.functions import textops
 from parallel_count_min_sketch_ray.functions.hashing import hash64_strings, splitmix64
 from parallel_count_min_sketch_ray.pipelines.analytics import _group_sum, read
-from parallel_count_min_sketch_ray.state.broadcast import sketch_from_ref
+from parallel_count_min_sketch_ray.state.broadcast import (
+    reserve as _broadcast_reserve,
+    sketch_from_ref,
+)
 
 # BPE-ish word/number/punct tokens; RE2 syntax valid for both pyarrow
 # and DuckDB's regexp_extract_all (oracle parity).
@@ -297,6 +301,11 @@ def _contamination_candidates(
         if len(blob_refs) == 1:
             hit = _bloom_from_ref(blob_refs[0]).contains(keys)
         else:
+            # every shard's filter is probed per batch: size this
+            # worker's deserialize-once cache to the full shard set, or
+            # cyclic access over > capacity refs would miss on every
+            # probe (LRU or not)
+            _broadcast_reserve(len(blob_refs) + 4)
             hit = np.zeros(keys.size, dtype=bool)
             sh_of = (keys % np.uint64(len(blob_refs))).astype(np.int64)
             for s in np.unique(sh_of):
@@ -572,6 +581,7 @@ def curate_corpus(
     w: int = 8,
     train_pct: int = 90,
     rep_threshold: float = 0.75,
+    mask_broadcast_limit: int = 2_000_000,
 ):
     """FLAGSHIP curation chain — the full LLM training-data assembly
     composed as one program, every stage reusing this repo's operators:
@@ -586,23 +596,32 @@ def curate_corpus(
     and SQL-checkable END-TO-END (one CTE chain oracle).
 
     Scale notes: the gates and packing are one vectorized scan; dedup
-    shuffles digests; the contamination mask materializes the DISTINCT
-    contaminated train doc_ids on the driver and broadcasts them via
-    ``ray.put`` — that set is ∝ true contamination (bounded, tiny
-    relative to the corpus); at extreme contamination an anti-join on
-    doc_id is the drop-in spelling.
+    shuffles digests.  The contamination mask is TIERED on the size of
+    the candidate set (the ``bloom_semijoin_count`` policy): at or
+    below ``mask_broadcast_limit`` candidate rows, the DISTINCT
+    contaminated train doc_ids broadcast via ``ray.put`` and mask
+    inside the rollup batch fn (zero extra shuffle); above it, the
+    dedup survivors ANTI-JOIN the candidate doc_ids on ``doc_id``
+    (``Dataset.join(join_type="left_anti")`` — duplicate right-side
+    keys cannot multiply an anti-join, so the candidate table needs no
+    pre-dedup pass) and NOTHING corpus- or contamination-proportional
+    ever materializes on the driver.  Both branches produce identical
+    output (asserted in pytest with a planted high-contamination
+    corpus forcing the anti-join tier).
     """
     from ray.data.aggregate import Min, Sum
 
-    cont_ids = np.sort(
-        np.unique(
-            _contamination_candidates(sf_dir, w, train_pct)
-            .select_columns(["doc_id"])
-            .to_pandas()["doc_id"]
-            .to_numpy()
+    cand = _contamination_candidates(sf_dir, w, train_pct)
+    # cand is memoized-materialized (contamination-proportional), so
+    # count() is a metadata read, not a pass
+    broadcast_mask = cand.count() <= mask_broadcast_limit
+    if broadcast_mask:
+        cont_ids = np.sort(
+            np.unique(
+                cand.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+            )
         )
-    )
-    cont_ref = ray.put(cont_ids)
+        cont_ref = ray.put(cont_ids)
 
     def prep(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -661,7 +680,8 @@ def curate_corpus(
         .aggregate(Min("packed", alias_name="packed"))
     )
 
-    def unpack_mask_rollup(batch: pa.Table) -> pa.Table:
+    def _unpacked(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, n×4 field matrix) from the packed argmin keys."""
         col = batch["packed"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -670,27 +690,71 @@ def curate_corpus(
         n = len(col)
         mat = flat.reshape(n, 4) if n else np.zeros((0, 4), object)
         ids = mat[:, 0].astype(np.int64) if n else np.zeros(0, np.int64)
-        clean = ~np.isin(ids, ray.get(cont_ref))
+        return ids, mat
+
+    def _rollup_partial(ids, mat, keep) -> pa.Table:
         t = pa.table(
             {
-                "lang": pa.array(mat[:, 2][clean], pa.string()),
-                "source": pa.array(mat[:, 3][clean], pa.string()),
-                "n_docs": pa.array(np.ones(int(clean.sum()), dtype=np.int64)),
+                "lang": pa.array(mat[:, 2][keep], pa.string()),
+                "source": pa.array(mat[:, 3][keep], pa.string()),
+                "n_docs": pa.array(np.ones(int(np.sum(keep)), dtype=np.int64)),
                 "n_tokens": pa.array(
-                    mat[:, 1][clean].astype(np.int64)
-                    if n else np.zeros(0, np.int64)
+                    mat[:, 1][keep].astype(np.int64)
+                    if len(ids) else np.zeros(0, np.int64)
                 ),
             }
         )
         return _group_sum(t, ["lang", "source"])
 
-    return (
-        reps.map_batches(unpack_mask_rollup, batch_format="pyarrow")
-        .groupby(["lang", "source"])
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_tokens", alias_name="n_tokens"),
+    if broadcast_mask:
+
+        def unpack_mask_rollup(batch: pa.Table) -> pa.Table:
+            ids, mat = _unpacked(batch)
+            clean = ~np.isin(ids, ray.get(cont_ref))
+            return _rollup_partial(ids, mat, clean)
+
+        rolled = reps.map_batches(unpack_mask_rollup, batch_format="pyarrow")
+    else:
+        # extreme-contamination tier: distributed anti-join on doc_id —
+        # the mask never touches the driver
+        def unpack_rows(batch: pa.Table) -> pa.Table:
+            ids, mat = _unpacked(batch)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "lang": pa.array(mat[:, 2], pa.string()),
+                    "source": pa.array(mat[:, 3], pa.string()),
+                    "n_tokens": pa.array(
+                        mat[:, 1].astype(np.int64)
+                        if len(ids) else np.zeros(0, np.int64)
+                    ),
+                }
+            )
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized() else 4
         )
+        survivors = reps.map_batches(unpack_rows, batch_format="pyarrow").join(
+            cand.select_columns(["doc_id"]),
+            join_type="left_anti",
+            num_partitions=max(2, min(4 * cpus, 1 + cand.count() // 2_000_000)),
+            on=("doc_id",),
+        )
+
+        def rollup(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mat = np.empty((len(ids), 4), dtype=object)
+            mat[:, 1] = batch["n_tokens"].to_numpy(zero_copy_only=False)
+            mat[:, 2] = batch["lang"].to_numpy(zero_copy_only=False)
+            mat[:, 3] = batch["source"].to_numpy(zero_copy_only=False)
+            return _rollup_partial(ids, mat, np.ones(len(ids), dtype=bool))
+
+        rolled = survivors.map_batches(rollup, batch_format="pyarrow")
+
+    return rolled.groupby(["lang", "source"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
     )
 
 
@@ -1008,7 +1072,19 @@ def bm25_topk(
     aggs = [Sum("n_docs", alias_name="n_docs"), Sum("sum_dl", alias_name="sum_dl")]
     aggs += [Sum(f"df_{j}", alias_name=f"df_{j}") for j in range(len(terms))]
     st = docs.map_batches(stats_partial, batch_format="pyarrow").aggregate(*aggs)
-    n_docs = int(st["n_docs"])
+    n_docs = int(st["n_docs"]) if st and st.get("n_docs") is not None else 0
+    if n_docs == 0:
+        # empty corpus: no avgdl to divide by — the typed empty result
+        # (mirrors returned_item_revenue's empty-quarter guard)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype=np.int64),
+                "query": pd.Series(dtype=str),
+                "doc_id": pd.Series(dtype=np.int64),
+                "rnk": pd.Series(dtype=np.int64),
+                "score": pd.Series(dtype=np.float64),
+            }
+        )
     avgdl = float(st["sum_dl"]) / n_docs
     df = np.array([int(st[f"df_{j}"]) for j in range(len(terms))], dtype=np.int64)
     # Robertson–Spärck Jones idf, same operation order as the SQL oracle

@@ -67,8 +67,10 @@ _SPOOL_DIRS: list[str] = []
 # disk-bound: keep at most this many live spools; the oldest beyond it
 # is deleted (a not-yet-consumed Dataset over a deleted spool fails
 # LOUDLY with FileNotFoundError — consume scan results promptly, or
-# raise the cap via GRAFT_SCAN_SPOOL_KEEP)
-_SPOOL_KEEP = int(os.environ.get("GRAFT_SCAN_SPOOL_KEEP", "16"))
+# raise the cap via GRAFT_SCAN_SPOOL_KEEP).  Default 64: a full driver
+# suite holds ~10 scan results; 64 gives a suite holding many
+# unconsumed results headroom while still bounding /tmp
+_SPOOL_KEEP = int(os.environ.get("GRAFT_SCAN_SPOOL_KEEP", "64"))
 
 
 @atexit.register
@@ -247,7 +249,14 @@ def keyed_prefix_sum(
     visible to every worker on a SINGLE-node cluster: on a multi-node
     cluster the spool path falls back to ``via="pin"`` automatically
     unless ``GRAFT_SCAN_SPOOL_DIR`` names a shared filesystem
-    (NFS/FUSE mount) every node can read."""
+    (NFS/FUSE mount) every node can read.
+
+    Spool lifetime: the returned Dataset lazily reads the spool, which
+    lives until process exit — bounded by a keep-newest cap of
+    ``GRAFT_SCAN_SPOOL_KEEP`` (default 64) live spools per process.  A
+    caller holding MORE than that many unconsumed results will see the
+    oldest evicted (FileNotFoundError at read time, after a warning):
+    consume results promptly or raise the cap."""
     if isinstance(order_cols, str):
         order_cols = [order_cols]
     value_cols = [value_col] if isinstance(value_col, str) else list(value_col)

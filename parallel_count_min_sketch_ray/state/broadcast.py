@@ -14,28 +14,45 @@ every batch the worker processes.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any
 
 import ray
 
 from parallel_count_min_sketch_ray.state.base import sketch_from_bytes
 
-_REF_CACHE: dict[str, Any] = {}
-_MAX_ENTRIES = 8  # a worker serves a handful of concurrent queries
+_REF_CACHE: "OrderedDict[str, Any]" = OrderedDict()
+_capacity = 8  # a worker serves a handful of concurrent queries
+
+
+def reserve(n: int) -> None:
+    """Raise this worker's cache capacity to at least ``n`` entries.
+
+    A stage that cycles over a known SET of refs per batch (e.g. the
+    sharded-Bloom prefilter looping over all shard filters) must call
+    this with the set's size from inside its batch fn — otherwise a
+    set larger than the capacity has a 100% miss rate under any
+    eviction policy, re-paying from_bytes per batch (the exact cost
+    this cache exists to kill).  Idempotent and cheap (one int max)."""
+    global _capacity
+    _capacity = max(_capacity, int(n))
 
 
 def sketch_from_ref(ref: "ray.ObjectRef") -> Any:
     """The sketch serialized behind ``ref``, deserialized at most once
     per worker process (keyed by the ref's hex id, which is unique per
-    ``ray.put``)."""
+    ``ray.put``).  LRU: a hit moves the entry to the back, so a stable
+    working set of <= capacity refs never thrashes even when other
+    queries' refs pass through."""
     key = ref.hex()
     sk = _REF_CACHE.get(key)
     if sk is None:
         sk = sketch_from_bytes(ray.get(ref))
-        while len(_REF_CACHE) >= _MAX_ENTRIES:
-            # evict ONE oldest entry (dict preserves insertion order) —
-            # clearing everything would make 9+ interleaved refs re-pay
-            # from_bytes per batch, the cost this cache exists to kill
-            _REF_CACHE.pop(next(iter(_REF_CACHE)))
+        while len(_REF_CACHE) >= _capacity:
+            # evict the LEAST-RECENTLY-USED entry — clearing everything
+            # would make interleaved refs re-pay from_bytes per batch
+            _REF_CACHE.popitem(last=False)
         _REF_CACHE[key] = sk
+    else:
+        _REF_CACHE.move_to_end(key)
     return sk

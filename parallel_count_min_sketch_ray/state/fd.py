@@ -118,6 +118,14 @@ class FrequentDirections:
             self._shrink()
 
     def merge(self, other: "FrequentDirections") -> "FrequentDirections":
+        """Fold ``other`` into self.  READ-ONLY on ``other`` (the
+        repo-wide merge contract every kernel honors, so cached
+        per-window sketches can merge into many accumulators): other's
+        shrunk matrix and pending buffer rows are stacked into self's
+        buffer as COPIES — never shrinking or aliasing other's state.
+        Stacking unshrunk rows is exact (shrink-of-a-concatenation is
+        the published merge; deferring other's shrink only tightens it,
+        Ghashami et al. §3)."""
         # ell identity is checked UNCONDITIONALLY (an empty other must
         # not smuggle a mismatched proto through the merge tree); dim
         # may still be None on an empty side — reconcile, then check
@@ -131,13 +139,16 @@ class FrequentDirections:
             self._B = None if other.dim is None else np.zeros((0, other.dim))
         if other.dim is not None:
             base.check_compatible(self, other, self._IDENTITY)
-        other._shrink()
-        if other._B is not None and other._B.size:
-            self._buf.append(other._B)
-            self._buf_rows += other._B.shape[0]
+        mats = (
+            [other._B] if other._B is not None and other._B.size else []
+        ) + other._buf
+        for m in mats:
+            self._buf.append(m.copy())
+            self._buf_rows += m.shape[0]
         self.n += other.n
         self.fro2 += other.fro2
-        self._shrink()
+        if self._buf_rows >= 2 * self.ell:
+            self._shrink()
         return self
 
     # ---- queries -----------------------------------------------------------

@@ -609,6 +609,65 @@ def test_decontaminate_ngram_planted(ray_session, tmp_path):
     assert sharded.equals(out)
 
 
+def test_curate_corpus_antijoin_tier(ray_session, tmp_path):
+    """Planted HIGH-contamination corpus: half the train docs quote a
+    val doc's full 8-gram, so the candidate set is corpus-scale.  The
+    anti-join tier (``mask_broadcast_limit=0`` forces it) must produce
+    exactly the broadcast tier's rollup, and both must match a pure-
+    Python recompute of the expected survivors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_count_min_sketch_ray.functions.textops import split_buckets
+    from parallel_count_min_sketch_ray.pipelines.textpipe import curate_corpus
+
+    ids = np.arange(300, dtype=np.int64)
+    buckets = split_buckets(ids)
+    shared = " ".join(f"qq{i}" for i in range(8))  # the leaked 8-gram
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in ids:
+        base = " ".join(f"w{int(x)}" for x in rng.integers(0, 100_000, 15))
+        if buckets[i] >= 90 or i % 2 == 0:
+            base = base + " " + shared
+        texts.append(base)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(
+                ["sA" if i % 3 == 0 else "sB" for i in ids], pa.string()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    broad = (
+        curate_corpus(str(tmp_path))
+        .to_pandas().sort_values(["lang", "source"]).reset_index(drop=True)
+    )
+    anti = (
+        curate_corpus(str(tmp_path), mask_broadcast_limit=0)
+        .to_pandas().sort_values(["lang", "source"]).reset_index(drop=True)
+    )
+    assert anti.equals(broad)
+
+    # expected: train-split docs (bucket < 90) not quoting the gram
+    # (every text is distinct and passes the quality/repetition gates)
+    exp: dict[tuple, list[int]] = {}
+    for i in ids:
+        if buckets[i] < 90 and i % 2 != 0:
+            src = "sA" if i % 3 == 0 else "sB"
+            exp.setdefault(("en", src), []).append(len(texts[i].split()))
+    assert len(exp) > 0 and any(buckets[i] < 90 and i % 2 == 0 for i in ids)
+    got = {
+        (r.lang, r.source): (r.n_docs, r.n_tokens)
+        for r in broad.itertuples()
+    }
+    assert got == {k: (len(v), sum(v)) for k, v in exp.items()}
+
+
 def test_decontaminate_sharded_equals_single(ray_session):
     """The sharded-Bloom path is bit-identical to the single-filter
     path on the real corpus (the exact verify join strips each

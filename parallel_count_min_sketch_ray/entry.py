@@ -75,39 +75,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Driver-checked queries.
 
     ORDER MATTERS: the driver's correctness harness checks the FIRST
-    ~50 entries (CORRECTNESS_r03 == the head of this dict), so
-    oracle-SQL queries that have never had a driver row come first
-    (VERDICT r3 "Next round" #2), then the rest of the SQL-checked
-    set; queries with two green driver rows already (r2+r3) sit past
-    the cap, and rows-only sketch/estimate queries close the list.
+    ~50 entries per round, so entries are ordered by DRIVER-ROW AGE
+    (VERDICT r4 "Next round" #2): the 22 oracle queries whose latest
+    green rows are r03-era come first, then the round-5 additions,
+    then the 19 queries last driver-checked in r02, then a few r04
+    oracle rows to fill the window; everything below the ~50 cap was
+    driver-checked green in r04.
     """
     return {
-        # --- SQL-checked, no driver CORRECTNESS row yet (r3 gap #1) ---
-        "events_moving_avg": analytics.events_moving_avg,
-        "events_time_window_sum": analytics.events_time_window_sum,
-        "doc_perplexity": textpipe.doc_perplexity,
-        "bm25_topk": textpipe.bm25_topk,
-        "events_value_ntile": analytics.events_value_ntile,
-        "local_supplier_volume": analytics.local_supplier_volume,
-        "curate_by_perplexity": textpipe.curate_by_perplexity,
-        "chunk_documents": textpipe.chunk_documents,
-        "source_fertility": textpipe.source_fertility,
-        "returned_item_revenue": analytics.returned_item_revenue,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "neardup_components": dedup.neardup_components,
-        "lang_quality": textpipe.lang_quality,
-        "ann_topk": ann.ann_topk,
-        "embedding_norms": ann.embedding_norms,
-        "embedding_near_dup": ann.embedding_near_dup,
-        "corpus_sample": analytics.corpus_sample,
-        "events_outliers": analytics.events_outliers,
-        "events_value_quantiles": analytics.events_value_quantiles,
-        "events_user_seq": analytics.events_user_seq,
-        "source_oov_rate": analytics.source_oov_rate,
-        "source_token_joinsize": analytics.source_token_joinsize,
-        # --- SQL-checked, one driver green row (r3) ---
+        # --- oracle-checked, stalest driver rows (r03-era code) ---
+        "token_counts": analytics.token_counts,
+        "token_totals": analytics.token_totals,
+        "heavy_hitters": analytics.heavy_hitters,
+        "events_hourly": analytics.events_hourly,
+        "events_lag": analytics.events_lag,
+        "events_sessions": analytics.events_sessions,
+        "events_sliding": analytics.events_sliding,
+        "events_asof_join": analytics.events_asof_join,
+        "events_range_join": analytics.events_range_join,
+        "events_props_stats": analytics.events_props_stats,
+        "events_value_stats": analytics.events_value_stats,
+        "top_users_by_value": analytics.top_users_by_value,
+        "orders_by_segment": analytics.orders_by_segment,
+        "orders_by_region": analytics.orders_by_region,
+        "order_lineitem_join": analytics.order_lineitem_join,
+        "brand_nation_revenue": analytics.brand_nation_revenue,
+        "pricing_summary": analytics.pricing_summary,
+        "distinct_users": analytics.distinct_users,
+        "dedup_exact": analytics.dedup_exact,
+        "clean_corpus": textpipe.clean_corpus,
+        "token_count_regex": textpipe.token_count_regex,
+        "source_token_totals": analytics.source_token_totals,
+        # --- NEW in round 5 (rows-only; contracts asserted in pytest) ---
+        "curate_and_write": textpipe.curate_and_write,
+        "semantic_dedup": ann.semantic_dedup,
+        "incremental_append_build": sketch_queries.incremental_append_build,
+        "ddsketch_type_value_quantiles": (
+            sketch_queries.ddsketch_type_value_quantiles
+        ),
+        "label_principal_directions": sketch_queries.label_principal_directions,
+        # --- rows-only queries last driver-checked in r02 ---
+        "cms_word_estimates": sketch_queries.cms_word_estimates,
+        "hll_distinct_words": sketch_queries.hll_distinct_words,
+        "kll_ntok_quantiles": sketch_queries.kll_ntok_quantiles,
+        "topk_words": sketch_queries.topk_words,
+        "cms_accuracy_report": sketch_queries.cms_accuracy_report,
+        "cms_inner_product_sources": sketch_queries.cms_inner_product_sources,
+        "bloom_doc_membership": sketch_queries.bloom_doc_membership,
+        "source_distinct_tokens": sketch_queries.source_distinct_tokens,
+        "source_ntok_quantiles": sketch_queries.source_ntok_quantiles,
+        "doc_sample_kmv": sketch_queries.doc_sample_kmv,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # LSH recall in pytest
+        "simhash_pairs": dedup.simhash_pairs,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,
+        "embedding_near_dup_lsh": ann.embedding_near_dup_lsh,
+        "media_decode_stats": _media_decode_stats,
+        "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
+        "corpus_write_lineage": _corpus_write_lineage,
+        "doc_fingerprints": textpipe.doc_fingerprints,
+        # --- r04-checked oracle queries filling the ~50 window ---
+        "doc_token_stats": analytics.doc_token_stats,
+        "lang_source_counts": analytics.lang_source_counts,
         "token_f2": analytics.token_f2,
         "top_terms_per_source": analytics.top_terms_per_source,
+        # ^ cap boundary (~50 entries above): everything below had a
+        # green driver row from r04 code
         "bigram_counts": analytics.bigram_counts,
         "doc_top_tfidf": analytics.doc_top_tfidf,
         "doc_split_stats": analytics.doc_split_stats,
@@ -132,41 +165,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": analytics.events_type_pivot,
         "source_token_set_ops": analytics.source_token_set_ops,
         "source_chars_stats": analytics.source_chars_stats,
-        # --- SQL-checked, two driver green rows (r2+r3) ---
-        "doc_token_stats": analytics.doc_token_stats,
-        "lang_source_counts": analytics.lang_source_counts,
-        # ^ cap boundary (50 entries above): everything below has the
-        # strongest existing record (one or two green driver rows) or
-        # is rows-only
-        # --- SQL-checked, green driver row(s), past cap ---
-        "dedup_exact": analytics.dedup_exact,
-        "token_count_regex": textpipe.token_count_regex,
-        "source_token_totals": analytics.source_token_totals,
-        "clean_corpus": textpipe.clean_corpus,
-        "events_sessions": analytics.events_sessions,
-        "events_sliding": analytics.events_sliding,
-        "events_asof_join": analytics.events_asof_join,
-        "events_range_join": analytics.events_range_join,
-        "events_props_stats": analytics.events_props_stats,
-        "top_users_by_value": analytics.top_users_by_value,
-        "orders_by_segment": analytics.orders_by_segment,
-        "orders_by_region": analytics.orders_by_region,
-        "token_counts": analytics.token_counts,
-        "token_totals": analytics.token_totals,
-        "heavy_hitters": analytics.heavy_hitters,
-        "events_hourly": analytics.events_hourly,
-        "events_lag": analytics.events_lag,
-        "distinct_users": analytics.distinct_users,
-        "pricing_summary": analytics.pricing_summary,
-        "order_lineitem_join": analytics.order_lineitem_join,
-        "brand_nation_revenue": analytics.brand_nation_revenue,
-        "events_value_stats": analytics.events_value_stats,
-        # --- sketch estimates (deterministic, rows-only) ---
-        "cms_word_estimates": sketch_queries.cms_word_estimates,
+        "events_moving_avg": analytics.events_moving_avg,
+        "events_time_window_sum": analytics.events_time_window_sum,
+        "doc_perplexity": textpipe.doc_perplexity,
+        "bm25_topk": textpipe.bm25_topk,
+        "events_value_ntile": analytics.events_value_ntile,
+        "local_supplier_volume": analytics.local_supplier_volume,
+        "curate_by_perplexity": textpipe.curate_by_perplexity,
+        "chunk_documents": textpipe.chunk_documents,
+        "source_fertility": textpipe.source_fertility,
+        "returned_item_revenue": analytics.returned_item_revenue,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "neardup_components": dedup.neardup_components,
+        "lang_quality": textpipe.lang_quality,
+        "ann_topk": ann.ann_topk,
+        "embedding_norms": ann.embedding_norms,
+        "embedding_near_dup": ann.embedding_near_dup,
+        "corpus_sample": analytics.corpus_sample,
+        "events_outliers": analytics.events_outliers,
+        "events_value_quantiles": analytics.events_value_quantiles,
+        "events_user_seq": analytics.events_user_seq,
+        "source_oov_rate": analytics.source_oov_rate,
+        "source_token_joinsize": analytics.source_token_joinsize,
+        # --- sketch estimates (deterministic, rows-only, r04-checked) ---
         "countsketch_word_estimates": sketch_queries.countsketch_word_estimates,
         "source_token_divergence": sketch_queries.source_token_divergence,
-        "hll_distinct_words": sketch_queries.hll_distinct_words,
-        "kll_ntok_quantiles": sketch_queries.kll_ntok_quantiles,
         "tdigest_value_quantiles": sketch_queries.tdigest_value_quantiles,
         "ddsketch_value_quantiles": sketch_queries.ddsketch_value_quantiles,
         "type_value_quantiles": sketch_queries.type_value_quantiles,
@@ -175,34 +198,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_top_users": sketch_queries.weekly_top_users,
         "weekly_value_quantiles": sketch_queries.weekly_value_quantiles,
         "ntok_range_mass": sketch_queries.ntok_range_mass,
-        "bloom_doc_membership": sketch_queries.bloom_doc_membership,
         "bloom_semijoin_count": sketch_queries.bloom_semijoin_count,
-        "cms_inner_product_sources": sketch_queries.cms_inner_product_sources,
-        "topk_words": sketch_queries.topk_words,
         "source_topk_words": sketch_queries.source_topk_words,
-        "cms_accuracy_report": sketch_queries.cms_accuracy_report,
-        "source_distinct_tokens": sketch_queries.source_distinct_tokens,
-        "source_ntok_quantiles": sketch_queries.source_ntok_quantiles,
-        "doc_sample_kmv": sketch_queries.doc_sample_kmv,
         "doc_weighted_sample": sketch_queries.doc_weighted_sample,
         "source_weighted_sample": sketch_queries.source_weighted_sample,
         "source_shingle_overlap": sketch_queries.source_shingle_overlap,
-        "sketch_checkpoint_lineage": sketch_queries.checkpointed_lineage,
-        "corpus_write_lineage": _corpus_write_lineage,
         "events_range_partition": _range_partitioned_write,
-        # --- near-dup / text analysis (rows-only) ---
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # LSH recall in pytest
-        "simhash_pairs": dedup.simhash_pairs,
-        "ann_lsh_topk": ann.ann_lsh_topk,
-        "embedding_near_dup_lsh": ann.embedding_near_dup_lsh,
-        "ann_ivf_topk": ann.ann_ivf_topk,
         "embedding_clusters": ann.embedding_clusters,
         "embedding_principal_directions": ann.embedding_principal_directions,
         "quality_model_scores": textpipe.quality_model_scores,  # actor-pool inference
         "train_event_model": ml.train_event_model,  # iterative GD loop
-        "media_decode_stats": _media_decode_stats,
         "media_near_dup": _media_near_dup,
-        "doc_fingerprints": textpipe.doc_fingerprints,
     }
 
 

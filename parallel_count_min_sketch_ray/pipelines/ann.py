@@ -645,6 +645,121 @@ def embedding_clusters(
     return agg[["cluster", "n", "mean_dist"]]
 
 
+def semantic_dedup(
+    sf_dir: str,
+    num_clusters: int = 8,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_train: int = 65536,
+    max_cluster: int = 4096,
+):
+    """Semantic deduplication, SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding corpus, then prune
+    near-duplicates WITHIN each cluster by cosine — the
+    cluster-then-prune pattern large corpora use where MinHash misses
+    paraphrases (paraphrases share embedding direction, not shingles).
+
+    Keep rule (deterministic): scan each (sub-)cluster in ``vec_id``
+    order and keep a vector iff its cosine to every ALREADY-KEPT member
+    is below ``threshold`` — the greedy maximal independent set, so
+    exactly one representative (the min vec_id) survives per duplicate
+    group.
+
+    Scale topology: the quantizer trains on a bounded seeded sample
+    (identical to :func:`embedding_clusters` / :func:`ann_ivf_topk`);
+    assignment is one vectorized ``map_batches`` pass with the centroid
+    matrix in the task closure; pruning runs per cluster group under
+    ``groupby("cluster").map_groups``.  Per-cluster work is CAPPED: a
+    cluster larger than ``max_cluster`` re-splits recursively on shared
+    seeded hyperplanes (the :func:`embedding_near_dup_lsh` guard), so
+    no group ever scores more than ~``max_cluster``² sims — duplicate
+    pairs split across sub-buckets are the documented recall trade at
+    that tier.  Only (vec_id, cluster, keep) rows move in the shuffle.
+
+    Deterministic (seeded init, fixed iterations, id-ordered scan) →
+    rows-only driver check; planted-paraphrase recall is asserted in
+    pytest."""
+    import pyarrow.parquet as pq_
+
+    n_rows = pq_.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    emb = read(sf_dir, "embeddings", ["embedding"])
+    if n_rows > max_train:
+        emb = emb.random_sample(min(1.0, 1.2 * max_train / n_rows), seed=seed)
+    sample_rows = emb.limit(max_train).take_all()
+    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    cent = kmeans_centroids(sample, num_clusters, seed)
+    probe = next(
+        pq_.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
+            batch_size=1, columns=["embedding"]
+        )
+    )
+    dim = len(probe["embedding"][0])
+    sub_planes = np.random.default_rng(seed + 1).standard_normal((16, dim))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch["embedding"])
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not mat.size:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": col,
+                }
+            )
+        return pa.table(
+            {
+                "cluster": pa.array(_sq_dists(mat, cent).argmin(axis=1)),
+                "vec_id": batch["vec_id"],
+                "embedding": col,
+            }
+        )
+
+    def prune_subset(unit: np.ndarray, idx: np.ndarray, depth: int, keep: np.ndarray):
+        """Greedy id-ordered keep over members ``idx`` (already sorted
+        by vec_id), sub-splitting oversized sets on shared planes."""
+        if idx.size == 0:
+            return
+        if idx.size > max_cluster and depth < sub_planes.shape[0]:
+            bits = (unit[idx] @ sub_planes[depth]) > 0
+            prune_subset(unit, idx[bits], depth + 1, keep)
+            prune_subset(unit, idx[~bits], depth + 1, keep)
+            return
+        sims = unit[idx] @ unit[idx].T
+        kept_local = np.zeros(idx.size, dtype=bool)
+        for j in range(idx.size):
+            prior = kept_local[:j]
+            if not prior.any() or sims[:j][prior, j].max() < threshold:
+                kept_local[j] = True
+        keep[idx[kept_local]] = True
+
+    def prune_cluster(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        mat = _matrix(g["embedding"])[order]
+        ids = ids[order]
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+        keep = np.zeros(ids.size, dtype=bool)
+        prune_subset(unit, np.arange(ids.size), 0, keep)
+        cluster = g["cluster"][0].as_py()
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(np.full(ids.size, cluster, dtype=np.int64)),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return (
+        read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune_cluster, batch_format="pyarrow")
+    )
+
+
 def embedding_principal_directions(
     sf_dir: str, ell: int = 64, k: int = 8
 ) -> pd.DataFrame:

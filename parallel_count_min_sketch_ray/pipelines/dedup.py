@@ -764,9 +764,9 @@ def union_find_components(pairs: "pd.DataFrame") -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-def neardup_components(
+def neardup_components_ds(
     sf_dir: str, k: int = 3, threshold: float = 0.2
-) -> pd.DataFrame:
+):
     """Near-dup dedup as a CORPUS operation: exact k-shingle Jaccard
     pairs (:func:`ngram_jaccard_pairs`, distributed inverted index) →
     connected components → one representative (min doc_id) per
@@ -805,11 +805,18 @@ def neardup_components(
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "rep_id": pa.array(reps, pa.int64())})
 
-    out = (
+    return (
         read(sf_dir, "documents", ["doc_id"])
         .map_batches(assign, batch_format="pyarrow")
-        .to_pandas()
     )
+
+
+def neardup_components(
+    sf_dir: str, k: int = 3, threshold: float = 0.2
+) -> pd.DataFrame:
+    """Driver/oracle surface of :func:`neardup_components_ds` — the
+    materialized (doc_id, rep_id) table, sorted."""
+    out = neardup_components_ds(sf_dir, k=k, threshold=threshold).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

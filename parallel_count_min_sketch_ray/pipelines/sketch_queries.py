@@ -237,6 +237,89 @@ def ddsketch_value_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def ddsketch_type_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-event_type quantiles of ``value`` via GROUPED DDSketches —
+    the relative-error kernel riding the keyed no-shuffle merge tree
+    (:func:`..pipelines.sketch_build.build_sketches_by_key`), closing
+    the grouped-tier symmetry with the HLL/KLL/t-digest/MG/KMV/CSK
+    by-key spellings.  Each group's integer log-bucket state merges
+    bit-exactly in any order while uncollapsed (the DDSketch merge
+    contract), so the per-type quantiles are deterministic; the
+    per-group alpha relative-error envelope is asserted in pytest
+    (rows-only driver check)."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        build_sketches_by_key,
+    )
+    from parallel_count_min_sketch_ray.state.ddsketch import DDSketch
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+    grouped = build_sketches_by_key(
+        ds, "event_type", [SketchSpec("dd", DDSketch(alpha=0.01), "value")]
+    )
+    rows = []
+    for etype in sorted(grouped):
+        dd = grouped[etype]["dd"]
+        qs = dd.quantiles([0.5, 0.9, 0.99, 0.999])
+        rows.append(
+            (etype, int(dd.n), qs[0], qs[1], qs[2], qs[3], bool(dd.collapsed()))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n", "p50", "p90", "p99", "p999", "collapsed"],
+    )
+
+
+def label_principal_directions(
+    sf_dir: str, ell: int = 32, k: int = 4
+) -> pd.DataFrame:
+    """Per-label principal directions of the embedding corpus via
+    GROUPED Frequent Directions sketches — the matrix kernel through
+    the keyed merge tree (``kind="matrix"`` extractor per key group),
+    the by-key sibling of
+    :func:`..pipelines.ann.embedding_principal_directions`.
+
+    Per label: top-``k`` singular values, exact-denominator energy
+    fractions (``fro2`` rides the sketch), row count and the
+    ``||A||_F²/ell`` spectral bound.  Exchange volume is
+    ``num_labels × ell × d`` floats per block — N-independent.  The
+    per-group spectral-error envelope vs the exact group Gram matrix
+    is asserted in pytest (rows-only driver check)."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        build_sketches_by_key,
+    )
+    from parallel_count_min_sketch_ray.state.fd import FrequentDirections
+
+    ds = read(sf_dir, "embeddings", ["label", "embedding"])
+    grouped = build_sketches_by_key(
+        ds,
+        "label",
+        [SketchSpec("fd", FrequentDirections(ell=ell), "embedding", kind="matrix")],
+    )
+    rows = []
+    for label in sorted(grouped):
+        fd = grouped[label]["fd"]
+        s, _ = fd.top_directions(k)
+        energy = s**2 / fd.fro2 if fd.fro2 > 0 else np.zeros_like(s)
+        for r in range(s.size):
+            rows.append(
+                (
+                    int(label),
+                    r + 1,
+                    round(float(s[r]), 6),
+                    round(float(energy[r]), 8),
+                    int(fd.n),
+                    round(fd.error_bound(), 6),
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "label", "rank", "singular_value", "energy_fraction",
+            "n_rows", "spectral_error_bound",
+        ],
+    )
+
+
 def ntok_range_mass(sf_dir: str) -> pd.DataFrame:
     """Range-mass estimates over the ``n_tok`` stream via the
     dyadic-range CMS — the O(log U) upgrade of the reference's naive
@@ -780,6 +863,99 @@ def checkpointed_lineage(sf_dir: str, ckpt_dir: str | None = None) -> pd.DataFra
     return lin[["partition_id", "rows", "items_cms", "resumed"]].sort_values(
         "partition_id"
     ).reset_index(drop=True)
+
+
+def incremental_append_build(sf_dir: str) -> pd.DataFrame:
+    """Incremental append / delta recompute at the driver surface —
+    the 100-TB operational story the checkpoint manifests are shaped
+    for: when new parquet fragments are APPENDED to a corpus, a re-run
+    of the checkpointed build recomputes ONLY the new fragments'
+    partitions (partition ids embed the fragment path, so existing
+    ones resume from their checkpoints) and the merged sketch is
+    bit-identical to a from-scratch build over the full corpus (sketch
+    merge is exact and order-free).
+
+    The append is SIMULATED here by splitting ``documents.parquet``
+    into two fragment files once (cached per input fingerprint; at
+    real scale fragments arrive pre-split, no driver read): phase 1
+    builds over fragment 0, phase 2 "appends" fragment 1 and re-runs
+    over both against the SAME checkpoint dir.  Returns one summary
+    row asserting the delta shape and the bit-identity vs a fresh
+    full build.  Deterministic → rows-only driver check; the
+    file-level append contract is also asserted in pytest
+    (``tests/test_checkpoint.py``)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from parallel_count_min_sketch_ray.state.checkpoint import (
+        build_sketches_checkpointed,
+    )
+
+    doc = f"{sf_dir}/documents.parquet"
+    st = os.stat(doc)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(doc)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    frag_dir = f"/tmp/pcmr-incr-{tag}"
+    f0 = os.path.join(frag_dir, "frag-000.parquet")
+    f1 = os.path.join(frag_dir, "frag-001.parquet")
+    if not (os.path.exists(f0) and os.path.exists(f1)):
+        os.makedirs(frag_dir, exist_ok=True)
+        t = pq_.read_table(doc, columns=["doc_id", "text"])
+        cut = t.num_rows * 3 // 4
+        for path, tbl in ((f0, t.slice(0, cut)), (f1, t.slice(cut))):
+            tmp = path + ".tmp"
+            pq_.write_table(tbl, tmp, row_group_size=2048)
+            os.replace(tmp, path)
+
+    specs = [
+        SketchSpec(
+            "cms_words",
+            CountMinSketch(eps=0.01, delta=0.1, seed=SEED),
+            "text",
+            kind="string_hash",
+        ),
+        SketchSpec("hll_docs", HyperLogLog(p=12, seed=SEED), "doc_id",
+                   kind="numeric"),
+    ]
+    ckpt = tempfile.mkdtemp(prefix="pcmr-incr-ckpt-")
+    rep1 = build_sketches_checkpointed([f0], specs, ckpt,
+                                       rows_per_partition=2048)
+    rep2 = build_sketches_checkpointed([f0, f1], specs, ckpt,
+                                       rows_per_partition=2048)
+    fresh = build_sketches_checkpointed(
+        [f0, f1], specs, tempfile.mkdtemp(prefix="pcmr-incr-fresh-"),
+        rows_per_partition=2048,
+    )
+    return pd.DataFrame(
+        {
+            "initial_partitions": [np.int64(rep1.partitions_total)],
+            "append_partitions_total": [np.int64(rep2.partitions_total)],
+            "append_resumed": [np.int64(rep2.partitions_resumed)],
+            "append_built": [np.int64(rep2.partitions_built)],
+            "rows": [np.int64(rep2.rows)],
+            "delta_only": [
+                bool(
+                    rep2.partitions_resumed == rep1.partitions_total
+                    and rep2.partitions_built
+                    == rep2.partitions_total - rep1.partitions_total
+                )
+            ],
+            "cms_bit_identical_to_fresh": [
+                bool(rep2["cms_words"] == fresh["cms_words"])
+            ],
+            "hll_bit_identical_to_fresh": [
+                bool(
+                    np.array_equal(
+                        rep2["hll_docs"].registers, fresh["hll_docs"].registers
+                    )
+                )
+            ],
+        }
+    )
 
 
 def source_ntok_quantiles(sf_dir: str) -> pd.DataFrame:

@@ -576,40 +576,39 @@ def quality_model_scores(sf_dir: str, dim: int = 256, concurrency=(1, 4)):
     )
 
 
-def curate_corpus(
+def curated_survivor_rows(
     sf_dir: str,
     w: int = 8,
     train_pct: int = 90,
     rep_threshold: float = 0.75,
     mask_broadcast_limit: int = 2_000_000,
 ):
-    """FLAGSHIP curation chain — the full LLM training-data assembly
-    composed as one program, every stage reusing this repo's operators:
+    """The curation chain's SURVIVING documents as a Dataset of
+    (doc_id, lang, source, n_tokens) rows — the shared core of
+    :func:`curate_corpus` (per-(lang, source) rollup) and
+    :func:`curate_and_write` (resumable partitioned output):
 
         train-split selection (md5 buckets, :func:`..analytics.doc_split_stats`)
         → quality gate (length / avg-word-len, :func:`clean_corpus`)
         → repetition gate (dup-word fraction, :func:`repetition_stats`)
         → exact dedup keeping min-doc_id WITH metadata (argmin-packed-key)
-        → n-gram decontamination mask (:func:`_contamination_candidates`)
-        → per-(lang, source) rollup.
-
-    and SQL-checkable END-TO-END (one CTE chain oracle).
+        → n-gram decontamination mask (:func:`_contamination_candidates`).
 
     Scale notes: the gates and packing are one vectorized scan; dedup
     shuffles digests.  The contamination mask is TIERED on the size of
     the candidate set (the ``bloom_semijoin_count`` policy): at or
     below ``mask_broadcast_limit`` candidate rows, the DISTINCT
-    contaminated train doc_ids broadcast via ``ray.put`` and mask
-    inside the rollup batch fn (zero extra shuffle); above it, the
-    dedup survivors ANTI-JOIN the candidate doc_ids on ``doc_id``
+    contaminated train doc_ids broadcast via ``ray.put`` and mask in a
+    vectorized batch filter (zero extra shuffle); above it, the dedup
+    survivors ANTI-JOIN the candidate doc_ids on ``doc_id``
     (``Dataset.join(join_type="left_anti")`` — duplicate right-side
     keys cannot multiply an anti-join, so the candidate table needs no
     pre-dedup pass) and NOTHING corpus- or contamination-proportional
     ever materializes on the driver.  Both branches produce identical
-    output (asserted in pytest with a planted high-contamination
-    corpus forcing the anti-join tier).
+    rows (asserted in pytest with a planted high-contamination corpus
+    forcing the anti-join tier).
     """
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     cand = _contamination_candidates(sf_dir, w, train_pct)
     # cand is memoized-materialized (contamination-proportional), so
@@ -680,8 +679,8 @@ def curate_corpus(
         .aggregate(Min("packed", alias_name="packed"))
     )
 
-    def _unpacked(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_ids, n×4 field matrix) from the packed argmin keys."""
+    def unpack_rows(batch: pa.Table) -> pa.Table:
+        """(doc_id, lang, source, n_tokens) from the packed argmin keys."""
         col = batch["packed"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -690,72 +689,184 @@ def curate_corpus(
         n = len(col)
         mat = flat.reshape(n, 4) if n else np.zeros((0, 4), object)
         ids = mat[:, 0].astype(np.int64) if n else np.zeros(0, np.int64)
-        return ids, mat
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "lang": pa.array(mat[:, 2], pa.string()),
+                "source": pa.array(mat[:, 3], pa.string()),
+                "n_tokens": pa.array(
+                    mat[:, 1].astype(np.int64) if n else np.zeros(0, np.int64)
+                ),
+            }
+        )
 
-    def _rollup_partial(ids, mat, keep) -> pa.Table:
+    rows = reps.map_batches(unpack_rows, batch_format="pyarrow")
+
+    if broadcast_mask:
+
+        def mask(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(ids, ray.get(cont_ref))))
+
+        return rows.map_batches(mask, batch_format="pyarrow")
+
+    # extreme-contamination tier: distributed anti-join on doc_id —
+    # the mask never touches the driver
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized() else 4
+    )
+    return rows.join(
+        cand.select_columns(["doc_id"]),
+        join_type="left_anti",
+        num_partitions=max(2, min(4 * cpus, 1 + cand.count() // 2_000_000)),
+        on=("doc_id",),
+    )
+
+
+def curate_corpus(
+    sf_dir: str,
+    w: int = 8,
+    train_pct: int = 90,
+    rep_threshold: float = 0.75,
+    mask_broadcast_limit: int = 2_000_000,
+):
+    """FLAGSHIP curation chain — the full LLM training-data assembly
+    composed as one program (see :func:`curated_survivor_rows` for the
+    stages and the tiered contamination mask), reduced to the
+    per-(lang, source) rollup — SQL-checkable END-TO-END (one CTE
+    chain oracle)."""
+    from ray.data.aggregate import Sum
+
+    rows = curated_survivor_rows(
+        sf_dir, w, train_pct, rep_threshold, mask_broadcast_limit
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
-                "lang": pa.array(mat[:, 2][keep], pa.string()),
-                "source": pa.array(mat[:, 3][keep], pa.string()),
-                "n_docs": pa.array(np.ones(int(np.sum(keep)), dtype=np.int64)),
-                "n_tokens": pa.array(
-                    mat[:, 1][keep].astype(np.int64)
-                    if len(ids) else np.zeros(0, np.int64)
-                ),
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "n_tokens": batch["n_tokens"],
             }
         )
         return _group_sum(t, ["lang", "source"])
 
-    if broadcast_mask:
-
-        def unpack_mask_rollup(batch: pa.Table) -> pa.Table:
-            ids, mat = _unpacked(batch)
-            clean = ~np.isin(ids, ray.get(cont_ref))
-            return _rollup_partial(ids, mat, clean)
-
-        rolled = reps.map_batches(unpack_mask_rollup, batch_format="pyarrow")
-    else:
-        # extreme-contamination tier: distributed anti-join on doc_id —
-        # the mask never touches the driver
-        def unpack_rows(batch: pa.Table) -> pa.Table:
-            ids, mat = _unpacked(batch)
-            return pa.table(
-                {
-                    "doc_id": pa.array(ids),
-                    "lang": pa.array(mat[:, 2], pa.string()),
-                    "source": pa.array(mat[:, 3], pa.string()),
-                    "n_tokens": pa.array(
-                        mat[:, 1].astype(np.int64)
-                        if len(ids) else np.zeros(0, np.int64)
-                    ),
-                }
-            )
-
-        cpus = (
-            int(ray.cluster_resources().get("CPU", 4))
-            if ray.is_initialized() else 4
+    return (
+        rows.map_batches(rollup, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
         )
-        survivors = reps.map_batches(unpack_rows, batch_format="pyarrow").join(
-            cand.select_columns(["doc_id"]),
-            join_type="left_anti",
-            num_partitions=max(2, min(4 * cpus, 1 + cand.count() // 2_000_000)),
-            on=("doc_id",),
-        )
-
-        def rollup(batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            mat = np.empty((len(ids), 4), dtype=object)
-            mat[:, 1] = batch["n_tokens"].to_numpy(zero_copy_only=False)
-            mat[:, 2] = batch["lang"].to_numpy(zero_copy_only=False)
-            mat[:, 3] = batch["source"].to_numpy(zero_copy_only=False)
-            return _rollup_partial(ids, mat, np.ones(len(ids), dtype=bool))
-
-        rolled = survivors.map_batches(rollup, batch_format="pyarrow")
-
-    return rolled.groupby(["lang", "source"]).aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("n_tokens", alias_name="n_tokens"),
     )
+
+
+def curate_and_write(
+    sf_dir: str,
+    out_root: str = "/tmp/pcmr-curate-write",
+    w: int = 8,
+    train_pct: int = 90,
+    rep_threshold: float = 0.75,
+):
+    """END-TO-END curate-and-write flagship: the curation chain
+    (:func:`curated_survivor_rows`) → NEAR-DUP drop (one representative
+    per n-gram-Jaccard connected component, via
+    :func:`..dedup.neardup_components`) → resumable atomic partitioned
+    Parquet write of the SURVIVING corpus (one ``part=<source>/`` dir
+    per source, ``_SUCCESS`` manifest each, input-fingerprint guarded).
+    Returns the written manifest (partition, n_docs, n_tokens, bytes).
+
+    Near-dup rule (deterministic): among curation survivors sharing a
+    connected component, only the MIN doc_id survivor is written — so a
+    component whose representative failed curation still contributes
+    its best remaining member.
+
+    Scale shape: three hash joins (survivors ⋈ components;
+    keep-set ⋈ survivors; keep-set ⋈ documents for text), all
+    key-partitioned with nothing corpus-proportional on the driver; the
+    write runs per source group under ``groupby("source").map_groups``
+    with the atomic-rename + skip-completed machinery of
+    :mod:`..pipelines.io` — a rerun recomputes the (cheap) keep-set but
+    skips every completed partition's (expensive) write, returning the
+    stored lineage instead.  Idempotent rerun asserted in pytest.  The
+    output dir is driver-local /tmp by default (single-node); a real
+    cluster points ``out_root`` at shared storage.
+    """
+    import hashlib
+    import json as _json
+    import os
+
+    from ray.data.aggregate import Min
+
+    from parallel_count_min_sketch_ray.pipelines.dedup import (
+        neardup_components_ds,
+    )
+    from parallel_count_min_sketch_ray.pipelines.io import (
+        _check_input_manifest,
+        _partition_dir,
+        input_fingerprint,
+        write_partition_atomic,
+    )
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out_dir = os.path.join(out_root, tag)
+    os.makedirs(out_dir, exist_ok=True)
+    _check_input_manifest(out_dir, input_fingerprint(doc_path))
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized() else 4
+    )
+    nparts = max(2, min(4 * cpus, 8))
+    surv = curated_survivor_rows(sf_dir, w, train_pct, rep_threshold)
+    comp = neardup_components_ds(sf_dir)  # (doc_id, rep_id), every doc
+    # min surviving doc_id per component = the written representative
+    keep = (
+        surv.select_columns(["doc_id"])
+        .join(comp, join_type="inner", num_partitions=nparts, on=("doc_id",))
+        .groupby("rep_id")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+    docs = read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    to_write = keep.join(
+        docs, join_type="inner", num_partitions=nparts, on=("doc_id",)
+    )
+
+    def write_source(g) -> "pd.DataFrame":
+        src = str(g["source"].iloc[0])
+        n_tokens = int(
+            sum(len([x for x in t.split(" ") if x]) for t in g["text"])
+        )
+        success = os.path.join(_partition_dir(out_dir, src), "_SUCCESS")
+        if os.path.exists(success):
+            with open(success) as f:
+                rec = _json.load(f)
+        else:
+            g = g.sort_values("doc_id")
+            rec = write_partition_atomic(
+                out_dir,
+                src,
+                [pa.Table.from_pandas(g, preserve_index=False)],
+            )
+        return pd.DataFrame(
+            {
+                "partition": [src],
+                "n_docs": np.array([len(g)], dtype=np.int64),
+                "n_tokens": np.array([n_tokens], dtype=np.int64),
+                "bytes": np.array([int(rec["bytes"])], dtype=np.int64),
+            }
+        )
+
+    manifest = (
+        to_write.groupby("source")
+        .map_groups(write_source, batch_format="pandas")
+        .to_pandas()  # one row per source — the documented small result
+    )
+    return manifest.sort_values("partition").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,57 @@ def test_resume_after_partial_run(ray_session, tokens_fixture, specs, tmp_path):
     assert resumed.rows == fresh.rows
 
 
+def test_incremental_append_recomputes_only_new_fragments(
+    ray_session, tokens_fixture, specs, tmp_path
+):
+    """Append new parquet fragments to a checkpointed corpus: the
+    re-run resumes EVERY pre-existing fragment's partitions (only the
+    appended files are built), and the merged sketch is bit-identical
+    to a from-scratch build over the full corpus — the delta-recompute
+    contract (VERDICT r4 directive #3)."""
+    paths = sorted(tokens_fixture["paths"])
+    assert len(paths) >= 2
+    initial, appended = paths[:-1], paths[-1:]
+    ckpt = str(tmp_path / "ckpt-incr")
+
+    rep1 = build_sketches_checkpointed(
+        initial, specs, ckpt, rows_per_partition=300
+    )
+    rep2 = build_sketches_checkpointed(
+        initial + appended, specs, ckpt, rows_per_partition=300
+    )
+    new_parts = plan_partitions(appended, rows_per_partition=300)
+    assert rep2.partitions_resumed == rep1.partitions_total
+    assert rep2.partitions_built == len(new_parts)
+    # only the appended fragments' partitions were built this run
+    built_ids = {r["partition_id"] for r in rep2.lineage if not r["resumed"]}
+    assert built_ids == {p["partition_id"] for p in new_parts}
+
+    fresh = build_sketches_checkpointed(
+        initial + appended, specs, str(tmp_path / "ckpt-fresh"),
+        rows_per_partition=300,
+    )
+    assert rep2["cms"] == fresh["cms"]
+    assert np.array_equal(rep2["hll"].registers, fresh["hll"].registers)
+    assert rep2.rows == fresh.rows == tokens_fixture["num_rows"]
+
+
+def test_incremental_append_driver_query(ray_session):
+    """The driver-surface spelling over the real documents table."""
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        incremental_append_build,
+    )
+
+    out = incremental_append_build("/root/testdata/sf0.001")
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert bool(r["delta_only"])
+    assert bool(r["cms_bit_identical_to_fresh"])
+    assert bool(r["hll_bit_identical_to_fresh"])
+    assert int(r["append_resumed"]) == int(r["initial_partitions"]) >= 1
+    assert int(r["append_built"]) >= 1
+
+
 def test_partial_write_is_invisible(tmp_path):
     """A .tmp file (simulated crash mid-write) is not seen as complete."""
     store = CheckpointStore(str(tmp_path / "c"))

@@ -156,6 +156,75 @@ def test_embedding_lsh_cap_subset(ray_session, hot_embeddings):
     assert cp <= fp
 
 
+def test_semantic_dedup_planted_paraphrases(ray_session, tmp_path):
+    """SemDeDup recall 1.0 on planted paraphrase pairs: each pair is a
+    base vector + tiny perturbation (cos > 0.999); unrelated vectors
+    are random in d=64 (near-orthogonal, cos << threshold).  Exactly
+    the min-vec_id member of each pair survives; every single does."""
+    from parallel_count_min_sketch_ray.pipelines.ann import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    dim, n_pairs, n_single = 64, 15, 40
+    vecs, ids = [], []
+    vid = 0
+    pair_ids = []
+    for _ in range(n_pairs):
+        base = rng.standard_normal(dim)
+        para = base + 0.001 * rng.standard_normal(dim)
+        pair_ids.append((vid, vid + 1))
+        vecs += [base, para]
+        ids += [vid, vid + 1]
+        vid += 2
+    single_ids = list(range(vid, vid + n_single))
+    for _ in range(n_single):
+        vecs.append(rng.standard_normal(dim))
+        ids.append(vid)
+        vid += 1
+    # guard the fixture itself: no accidental cross-pair near-dup
+    m = np.asarray(vecs)
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = u @ u.T
+    np.fill_diagonal(sims, 0.0)
+    for a, b in pair_ids:
+        assert sims[a, b] > 0.999
+        sims[a, b] = sims[b, a] = 0.0
+    assert sims.max() < 0.95, "fixture: unrelated cos must be below threshold"
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.array(ids, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = (
+        semantic_dedup(str(tmp_path), num_clusters=1, threshold=0.95)
+        .to_pandas().set_index("vec_id")["keep"]
+    )
+    assert len(out) == len(ids)
+    for a, b in pair_ids:
+        assert bool(out[a]) and not bool(out[b])
+    assert all(bool(out[s]) for s in single_ids)
+
+
+def test_semantic_dedup_identical_capped(ray_session, hot_embeddings):
+    """300 identical vectors survive as exactly ONE representative (the
+    min vec_id) even when max_cluster forces sub-plane re-splits —
+    identical vectors always land on the same side of every plane, so
+    the cap cannot separate a duplicate group."""
+    from parallel_count_min_sketch_ray.pipelines.ann import semantic_dedup
+
+    out = (
+        semantic_dedup(hot_embeddings, num_clusters=2, max_cluster=32)
+        .to_pandas()
+    )
+    assert len(out) == 400
+    dup = out[out["vec_id"] < 300]
+    assert int(dup["keep"].sum()) == 1
+    assert int(dup.loc[dup["keep"], "vec_id"].iloc[0]) == 0
+
+
 def test_lsh_auto_params_occupancy_bound():
     """Planes grow with n so expected bucket occupancy stays bounded;
     tables hold the recall target until the clamp."""

@@ -668,6 +668,42 @@ def test_curate_corpus_antijoin_tier(ray_session, tmp_path):
     assert got == {k: (len(v), sum(v)) for k, v in exp.items()}
 
 
+def test_curate_and_write_flagship(ray_session, tmp_path):
+    """End-to-end curate-and-write: the written corpus is exactly the
+    curation survivors reduced to one representative per near-dup
+    component (min doc_id), the manifest totals agree, and a rerun is
+    idempotent — identical manifest, no partition rewritten."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parallel_count_min_sketch_ray.pipelines.dedup import neardup_components
+    from parallel_count_min_sketch_ray.pipelines.textpipe import (
+        curate_and_write,
+        curated_survivor_rows,
+    )
+
+    m1 = curate_and_write(SF_UNIT, out_root=str(tmp_path))
+    assert (m1["n_docs"] > 0).any()
+    files = sorted(glob.glob(str(tmp_path) + "/*/part=*/data-*.parquet"))
+    assert files
+    mtimes = {f: os.path.getmtime(f) for f in files}
+
+    surv = curated_survivor_rows(SF_UNIT).to_pandas()
+    comp = neardup_components(SF_UNIT)
+    exp = set(surv.merge(comp, on="doc_id").groupby("rep_id")["doc_id"].min())
+    written = set()
+    for f in files:
+        written |= set(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    assert written == exp
+    assert int(m1["n_docs"].sum()) == len(exp)
+
+    m2 = curate_and_write(SF_UNIT, out_root=str(tmp_path))
+    assert m2.equals(m1)
+    assert all(os.path.getmtime(f) == mtimes[f] for f in files)
+
+
 def test_decontaminate_sharded_equals_single(ray_session):
     """The sharded-Bloom path is bit-identical to the single-filter
     path on the real corpus (the exact verify join strips each

@@ -59,7 +59,7 @@ def _canonical(res) -> pd.DataFrame:
 
 def test_rows_only_query_set_is_expected():
     names = _rows_only_names()
-    assert len(names) == 40, names
+    assert len(names) == 45, names  # +5 round-5 additions
 
 
 @pytest.mark.parametrize("name", _rows_only_names())

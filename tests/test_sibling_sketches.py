@@ -1088,6 +1088,85 @@ def test_calendar_window_merges_gap_days():
     assert counts(wins[2][2]) == {2: 1, 3: 1}
 
 
+def test_ddsketch_type_value_quantiles_envelope(ray_session):
+    """Grouped DDSketch: each event_type's quantile estimates hold the
+    alpha=0.01 RELATIVE-error envelope vs the exact per-group
+    distribution, and each group's n equals the exact row count —
+    through the keyed merge tree, not a serial build."""
+    import duckdb
+
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        ddsketch_type_value_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = ddsketch_type_value_quantiles(sf)
+    assert len(out) > 0
+    ev = duckdb.sql(
+        f"SELECT event_type, value FROM read_parquet('{sf}/events.parquet')"
+    ).df()
+    for _, r in out.iterrows():
+        vals = np.sort(ev[ev["event_type"] == r["event_type"]]["value"].to_numpy())
+        assert r["n"] == len(vals)
+        for q, est in ((0.5, r["p50"]), (0.9, r["p90"]), (0.99, r["p99"]),
+                       (0.999, r["p999"])):
+            exact = vals[min(int(np.ceil(q * len(vals))) - 1, len(vals) - 1)]
+            # DDSketch guarantee: |est - x| <= alpha * |x| for an actual
+            # element x within rank-slack of q; allow one-rank slack
+            lo_i = max(int(np.floor(q * len(vals))) - 2, 0)
+            hi_i = min(int(np.ceil(q * len(vals))) + 1, len(vals) - 1)
+            window = vals[lo_i : hi_i + 1]
+            ok = np.any(np.abs(est - window) <= 0.011 * np.abs(window) + 1e-12)
+            assert ok, (r["event_type"], q, est, exact)
+
+
+def test_label_principal_directions_envelope(ray_session):
+    """Keyed Frequent Directions: per-label sketch covariance within
+    the published ||A||_F²/ell spectral bound of the exact per-label
+    Gram matrix, with exact n and fro2 riding the merge tree."""
+    import pyarrow.parquet as pq_
+
+    from parallel_count_min_sketch_ray.pipelines.sketch_build import (
+        SketchSpec,
+        build_sketches_by_key,
+    )
+    from parallel_count_min_sketch_ray.pipelines.sketch_queries import (
+        label_principal_directions,
+    )
+    from parallel_count_min_sketch_ray.state.fd import FrequentDirections
+
+    sf = "/root/testdata/sf0.001"
+    ell = 32
+    out = label_principal_directions(sf, ell=ell, k=4)
+    assert len(out) > 0
+    t = pq_.read_table(f"{sf}/embeddings.parquet", columns=["label", "embedding"])
+    labels = t["label"].to_numpy()
+    flat = t["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    mat = flat.reshape(len(labels), -1)
+    import ray.data
+
+    grouped = build_sketches_by_key(
+        ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["label", "embedding"]
+        ),
+        "label",
+        [SketchSpec("fd", FrequentDirections(ell=ell), "embedding", kind="matrix")],
+    )
+    for label in np.unique(labels):
+        g = mat[labels == label]
+        fd = grouped[label]["fd"]
+        assert fd.n == g.shape[0]
+        assert abs(fd.fro2 - float((g * g).sum())) <= 1e-6 * max(fd.fro2, 1.0)
+        gap = np.linalg.norm(g.T @ g - fd.covariance(), 2)
+        assert gap <= fd.error_bound() + 1e-9
+        # the query surface agrees with the sketch it reports
+        sub = out[out["label"] == int(label)].sort_values("rank")
+        s, _ = fd.top_directions(4)
+        assert np.allclose(sub["singular_value"].to_numpy(), np.round(s, 6))
+
+
 def test_weekly_value_quantiles_envelope(ray_session):
     """Windowed t-digest: each window's p50/p90/p99 estimates must sit
     within a 5% rank-error envelope of the exact per-window value

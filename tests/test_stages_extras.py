@@ -583,28 +583,44 @@ def test_scan_spool_dirs_registered_for_cleanup(ray_session):
     assert os.path.isdir(scan_mod._SPOOL_DIRS[-1])
 
 
-def test_broadcast_cache_evicts_one_not_all(ray_session):
-    """Past _MAX_ENTRIES the cache evicts the single OLDEST ref; the
-    hot remainder stays resident (a full clear would re-pay from_bytes
-    per batch whenever 9+ refs interleave)."""
+def test_broadcast_cache_lru_eviction_and_reserve(ray_session):
+    """Past capacity the cache evicts the single LEAST-RECENTLY-USED
+    ref — a hit refreshes recency, so a hot working set stays resident
+    (a full clear, or FIFO under cyclic access, would re-pay from_bytes
+    per batch); reserve(n) raises capacity for stages that cycle over
+    a known ref set (the sharded-Bloom prefilter)."""
     import ray as _ray
 
     from parallel_count_min_sketch_ray.state import broadcast as bc
     from parallel_count_min_sketch_ray.state.hll import HyperLogLog
 
     bc._REF_CACHE.clear()
+    cap = bc._capacity
     refs = []
-    for i in range(bc._MAX_ENTRIES + 1):
+    for i in range(cap + 1):
         h = HyperLogLog(p=10, seed=i)
         h.update(np.arange(10))
         refs.append(_ray.put(h.to_bytes()))
-    for r in refs:
+    for r in refs[:cap]:
         bc.sketch_from_ref(r)
-    assert len(bc._REF_CACHE) == bc._MAX_ENTRIES
-    assert refs[0].hex() not in bc._REF_CACHE  # oldest evicted
-    assert refs[1].hex() in bc._REF_CACHE  # second-oldest survives
+    bc.sketch_from_ref(refs[0])  # hit: refs[0] becomes most-recent
+    bc.sketch_from_ref(refs[cap])  # insert past capacity
+    assert len(bc._REF_CACHE) == cap
+    assert refs[1].hex() not in bc._REF_CACHE  # LRU evicted
+    assert refs[0].hex() in bc._REF_CACHE  # refreshed entry survives
     assert refs[-1].hex() in bc._REF_CACHE
+    # reserve: cyclic access over reserved-size set never misses
     bc._REF_CACHE.clear()
+    bc.reserve(cap + 4)
+    try:
+        for r in refs:
+            bc.sketch_from_ref(r)
+        held = [bc.sketch_from_ref(r) for r in refs]
+        for r, sk in zip(refs, held):
+            assert bc.sketch_from_ref(r) is sk  # no re-deserialize
+    finally:
+        bc._capacity = cap
+        bc._REF_CACHE.clear()
 
 
 def test_scan_spool_cap_evicts_oldest(ray_session, monkeypatch, tmp_path):

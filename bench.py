@@ -266,6 +266,15 @@ def main() -> None:
             "sf": sf_dir,
             "num_cpus": num_cpus,
             "headline": headline,
+            # epoch-normalized ratios (query sec / same-run headline
+            # median): host-wide epoch drift scales both together, so
+            # only real per-query regressions move these — diffed
+            # across rounds by tools/perf_ratios.py
+            "query_ratios": {
+                k: round(v / headline["wall_sec"], 3)
+                for k, v in queries.items()
+                if v >= 0
+            },
         }
         # full record (96-query map makes this line >4 KB): printed
         # first AND written to BENCH/ for the repo's own records

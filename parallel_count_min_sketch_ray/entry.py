@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sketch_queries.ddsketch_type_value_quantiles
         ),
         "label_principal_directions": sketch_queries.label_principal_directions,
+        # NEW in round 5, oracle-checked: PII redaction audit
+        "pii_scrub": textpipe.pii_scrub,
         # --- rows-only queries last driver-checked in r02 ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
         "hll_distinct_words": sketch_queries.hll_distinct_words,
@@ -468,6 +470,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_words) AS BIGINT) AS n_words, "
             "CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) "
             "AS fertility FROM w GROUP BY source"
+        ),
+        # PII scrub audit: both engines run the same RE2 patterns
+        # (pyarrow count/replace_substring_regex vs DuckDB
+        # regexp_extract_all/regexp_replace 'g'); replacement order
+        # email -> ip -> phone is part of the contract
+        "pii_scrub": (
+            "SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(text, '{textpipe.PII_EMAIL}')) "
+            "AS BIGINT) AS n_emails, "
+            f"CAST(len(regexp_extract_all(text, '{textpipe.PII_IP}')) "
+            "AS BIGINT) AS n_ips, "
+            f"CAST(len(regexp_extract_all(text, '{textpipe.PII_PHONE}')) "
+            "AS BIGINT) AS n_phones, "
+            "CAST(length(regexp_replace(regexp_replace(regexp_replace("
+            f"text, '{textpipe.PII_EMAIL}', '<EMAIL>', 'g'), "
+            f"'{textpipe.PII_IP}', '<IP>', 'g'), "
+            f"'{textpipe.PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) "
+            "AS scrubbed_len FROM documents"
         ),
         # context chunking: sliding token windows, stride 48 (64-16);
         # integer-exact boundary tokens both sides

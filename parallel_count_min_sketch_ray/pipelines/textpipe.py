@@ -68,6 +68,61 @@ def token_count_regex(sf_dir: str, pattern: str = BPE_ISH_PATTERN):
     )
 
 
+# PII patterns in the RE2 subset shared by pyarrow and DuckDB (no
+# lookaround); replacement ORDER is part of the contract (email → ip →
+# phone) so scrubbed output is identical on both sides.  Detection
+# counts are taken on the ORIGINAL text, so they are order-independent.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}"
+
+
+def pii_scrub(sf_dir: str):
+    """Per-doc PII redaction (the C4/RefinedWeb-style scrub step):
+    count emails / IPv4s / international phone numbers, replace each
+    with a typed placeholder, and report the scrubbed length.
+
+    Stays a single vectorized ``map_batches`` pass — RE2 kernels
+    (`count_substring_regex`, `replace_substring_regex`) over the Arrow
+    string column, no per-row Python — so at 100 TB it is a pure map
+    stage with zero shuffle.  `scrub_text` returns the full redacted
+    column for composition into a write pipeline; the `queries()` entry
+    returns the compact per-doc audit table (counts + scrubbed length),
+    which is what the DuckDB oracle checks.
+    """
+    return _pii_table(sf_dir, keep_text=False)
+
+
+def pii_scrub_text(sf_dir: str):
+    """`pii_scrub` variant that keeps the redacted ``text`` column —
+    the stage a curate-and-write pipeline would insert before the sink."""
+    return _pii_table(sf_dir, keep_text=True)
+
+
+def _pii_table(sf_dir: str, keep_text: bool):
+    def scrub(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols = {
+            "doc_id": batch["doc_id"],
+            "n_emails": pc.count_substring_regex(col, PII_EMAIL).cast(pa.int64()),
+            "n_ips": pc.count_substring_regex(col, PII_IP).cast(pa.int64()),
+            "n_phones": pc.count_substring_regex(col, PII_PHONE).cast(pa.int64()),
+        }
+        red = pc.replace_substring_regex(col, PII_EMAIL, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PII_IP, "<IP>")
+        red = pc.replace_substring_regex(red, PII_PHONE, "<PHONE>")
+        cols["scrubbed_len"] = pc.utf8_length(red).cast(pa.int64())
+        if keep_text:
+            cols["text"] = red
+        return pa.table(cols)
+
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow"
+    )
+
+
 def doc_fingerprints(sf_dir: str, window: int = 8):
     """Per-doc rolling-hash fingerprint (winnowing-style min-hash of
     word 8-shingles) as hex — cheap near-dup pre-screen key."""

@@ -127,6 +127,7 @@ def _to_pandas(res):
         "chunk_documents",
         "source_fertility",
         "returned_item_revenue",
+        "pii_scrub",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -1219,3 +1220,55 @@ def test_bloom_semijoin_large_side_branch(ray_session):
     assert int(large["exact_semijoin_count"]) == int(small["exact_semijoin_count"])
     assert int(large["bloom_semijoin_count"]) == int(small["bloom_semijoin_count"])
     assert int(large["n_lineitems"]) == int(small["n_lineitems"])
+
+
+def test_pii_scrub_planted_fixture(ray_session, tmp_path):
+    """The sf tables contain no PII-shaped strings, so the driver row
+    only exercises the zero-match path; this fixture plants emails,
+    IPv4s and phone numbers (including the adversarial email-wrapping-
+    an-IP case and non-ASCII text, which checks character-vs-byte
+    length semantics) and requires the Ray pipeline to match the SAME
+    oracle SQL the driver runs."""
+    from parallel_count_min_sketch_ray import entry as em
+    from parallel_count_min_sketch_ray.pipelines import textpipe
+
+    texts = [
+        "contact a.b+c@ex-ample.org or admin@x.io now",
+        "server at 10.0.0.1 and 192.168.255.254, call +1 555 123 4567",
+        "overlap user@1.2.3.4.com then bare 1.2.3.4",
+        "phones +44-207-946-0958 and +1 555 000 1234",
+        "café über no pii here",
+        "",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    res = _canon(_to_pandas(textpipe.pii_scrub(str(tmp_path))))
+    # planted counts actually fired (guards against a pattern typo
+    # making the oracle comparison vacuously all-zero)
+    assert res["n_emails"].sum() == 3
+    # doc 1's two servers + doc 2's "1.2.3.4" BOTH inside the email
+    # domain and bare (counts run on the original text)
+    assert res["n_ips"].sum() == 4
+    assert res["n_phones"].sum() == 3
+
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ora = _canon(c.sql(em.oracle_sql()["pii_scrub"]).df())
+    pd.testing.assert_frame_equal(res, ora, check_dtype=True)
+
+    # the write-path variant keeps the redacted text; replacement order
+    # (email -> ip -> phone) means the IP inside the email is gone
+    red = (
+        textpipe.pii_scrub_text(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    assert red[2] == "overlap <EMAIL> then bare <IP>"
+    assert red[1] == "server at <IP> and <IP>, call <PHONE>"
+    assert red[4] == texts[4]

@@ -114,8 +114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sketch_queries.ddsketch_type_value_quantiles
         ),
         "label_principal_directions": sketch_queries.label_principal_directions,
-        # NEW in round 5, oracle-checked: PII redaction audit
+        # NEW in round 5, oracle-checked: PII redaction audit +
+        # substring-dup coverage (Lee et al. 2022 measurement)
         "pii_scrub": textpipe.pii_scrub,
+        "dup_ngram_coverage": textpipe.dup_ngram_coverage,
         # --- rows-only queries last driver-checked in r02 ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
         "hll_distinct_words": sketch_queries.hll_distinct_words,
@@ -488,6 +490,24 @@ def oracle_sql() -> dict[str, str]:
             f"'{textpipe.PII_IP}', '<IP>', 'g'), "
             f"'{textpipe.PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) "
             "AS scrubbed_len FROM documents"
+        ),
+        # corpus-duplicated 8-gram coverage per source: exact string
+        # semantics; integer counts + ONE final double division
+        "dup_ngram_coverage": (
+            "WITH w AS (SELECT doc_id, source, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS words "
+            "FROM documents), "
+            "s AS (SELECT doc_id, source, "
+            "array_to_string(words[i:i+7], ' ') AS sh "
+            "FROM w, unnest(range(1, len(words) - 6)) AS t(i) "
+            "WHERE len(words) >= 8), "
+            "g AS (SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY sh) "
+            "SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+            "CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS dup_shingles, "
+            "CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ COUNT(*) AS dup_fraction "
+            "FROM s JOIN g USING (sh) GROUP BY s.source"
         ),
         # context chunking: sliding token windows, stride 48 (64-16);
         # integer-exact boundary tokens both sides

@@ -444,6 +444,119 @@ def decontaminate_ngram(
     )
 
 
+def dup_ngram_coverage(sf_dir: str, w: int = 8, n_buckets: int = 64):
+    """Corpus-duplicated n-gram coverage per source — the
+    substring-level duplication measurement of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (2022):
+    for every FULL ``w``-word window occurrence, is that exact window
+    present in >= 2 distinct documents anywhere in the corpus?
+    Reports per source: total window occurrences, duplicated
+    occurrences, and the duplicated fraction (EXACT, string-equality
+    semantics — hashes are routing only).
+
+    Scale shape (the repo's coarse-bucket exact-aggregate pattern):
+
+    1. one scan emits PER-BATCH-DISTINCT ``(sh, source)`` partials
+       (``occ`` = in-batch occurrences, ``ndocs`` = in-batch distinct
+       docs; a doc never straddles batches, so both SUM exactly
+       across batches);
+    2. partials shuffle on ``hash64(sh) % n_buckets`` — exchange
+       volume is distinct shingle strings per batch, not occurrences
+       (duplicated text collapses before the wire), and identical
+       strings always co-locate, so in-bucket string grouping is
+       globally exact;
+    3. in-bucket numpy segment sums give each shingle's global
+       distinct-doc count and fold immediately to per-(bucket, source)
+       sums — the final shuffle is ``n_buckets x sources`` rows.
+
+    Extreme-scale upgrade (documented, not needed at this size): the
+    :func:`_contamination_candidates` polynomial-key prefilter —
+    first pass ships 8-byte window keys to find dup-candidate keys,
+    second pass ships strings for candidates only.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        wins, counts = _full_windows(texts, w)
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "sh": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "occ": pa.array([], pa.int64()),
+                "ndocs": pa.array([], pa.int64()),
+            }
+        )
+        if not wins:
+            return empty
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        src = batch["source"].take(pa.array(doc_idx))
+        t = pa.table(
+            {
+                "sh": pa.array(wins, pa.string()),
+                "source": src,
+                "doc": pa.array(doc_idx),
+            }
+        )
+        g = t.group_by(["sh", "source"]).aggregate(
+            [("doc", "count"), ("doc", "count_distinct")]
+        )
+        keys = hash64_strings(g["sh"].to_pylist())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (keys % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "sh": g["sh"],
+                "source": g["source"],
+                "occ": g["doc_count"].cast(pa.int64()),
+                "ndocs": g["doc_count_distinct"].cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        occ = g["occ"].to_numpy(dtype=np.int64)
+        nd = g["ndocs"].to_numpy(dtype=np.int64)
+        order = np.argsort(sh, kind="stable")
+        sh_s = sh[order]
+        starts = np.r_[0, np.flatnonzero(sh_s[1:] != sh_s[:-1]) + 1]
+        seg = np.diff(np.r_[starts, len(sh_s)])
+        nd_tot = np.add.reduceat(nd[order], starts)
+        dup_row = np.empty(len(sh), dtype=bool)
+        dup_row[order] = np.repeat(nd_tot >= 2, seg)
+        out = pd.DataFrame(
+            {
+                "source": g["source"],
+                "n_shingles": occ,
+                "dup_shingles": np.where(dup_row, occ, np.int64(0)),
+            }
+        )
+        return out.groupby("source", as_index=False).sum()
+
+    def frac(batch: pa.Table) -> pa.Table:
+        n = batch["n_shingles"].to_numpy(zero_copy_only=False)
+        d = batch["dup_shingles"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "dup_fraction",
+            pa.array(d.astype(np.float64) / n.astype(np.float64)),
+        )
+
+    return (
+        read(sf_dir, "documents", ["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_shingles", alias_name="n_shingles"),
+            Sum("dup_shingles", alias_name="dup_shingles"),
+        )
+        .map_batches(frac, batch_format="pyarrow")
+    )
+
+
 def repetition_stats(sf_dir: str, threshold: float = 0.75):
     """Intra-document repetition quality signal (the Gopher-rule
     shape): per doc, the duplicate-word fraction

@@ -128,6 +128,7 @@ def _to_pandas(res):
         "source_fertility",
         "returned_item_revenue",
         "pii_scrub",
+        "dup_ngram_coverage",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -1272,3 +1273,54 @@ def test_pii_scrub_planted_fixture(ray_session, tmp_path):
     assert red[2] == "overlap <EMAIL> then bare <IP>"
     assert red[1] == "server at <IP> and <IP>, call <PHONE>"
     assert red[4] == texts[4]
+
+
+def test_dup_ngram_coverage_planted_multiblock(ray_session, tmp_path):
+    """Semantics the sf tables can't isolate: a window repeated twice
+    WITHIN one doc is not corpus-duplicated (distinct-doc count = 1),
+    while the same window appearing in two docs — here in two separate
+    parquet FILES, so the partials cross batch boundaries — is.  Short
+    docs (< 8 words) contribute nothing."""
+    import pyarrow.parquet as pq2
+    from parallel_count_min_sketch_ray import entry as em
+    from parallel_count_min_sketch_ray.pipelines.textpipe import (
+        dup_ngram_coverage,
+    )
+
+    x = "a b c d e f g h"  # the shared 8-gram
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    parts = [
+        # doc 0: x appears twice within ONE doc (plus bridging windows)
+        [(0, "s1", f"{x} {x}")],
+        # doc 1 (other file/batch): x once -> now duplicated corpus-wide
+        [(1, "s2", f"{x} tail9 tail10")],
+        # doc 2: all-unique windows; doc 3: too short to shingle
+        [(2, "s1", "u1 u2 u3 u4 u5 u6 u7 u8 u9"), (3, "s2", "tiny doc")],
+    ]
+    for i, rows in enumerate(parts):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq2.write_table(tbl, str(d / f"part{i}.parquet"))
+
+    res = _canon(_to_pandas(dup_ngram_coverage(str(tmp_path))))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/*.parquet')"
+    )
+    ora = _canon(c.sql(em.oracle_sql()["dup_ngram_coverage"]).df())
+    pd.testing.assert_frame_equal(res, ora, check_dtype=True)
+
+    r = res.set_index("source")
+    # s1: doc0 has 9 windows (len 16), doc2 has 2 -> 11 total; only the
+    # two in-doc copies of x are corpus-duplicated (doc1 has it too)
+    assert int(r.loc["s1", "n_shingles"]) == 11
+    assert int(r.loc["s1", "dup_shingles"]) == 2
+    # s2: doc1 has 3 windows, exactly one of which is x; doc3 none
+    assert int(r.loc["s2", "n_shingles"]) == 3
+    assert int(r.loc["s2", "dup_shingles"]) == 1

@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # substring-dup coverage (Lee et al. 2022 measurement)
         "pii_scrub": textpipe.pii_scrub,
         "dup_ngram_coverage": textpipe.dup_ngram_coverage,
+        "large_volume_orders": analytics.large_volume_orders,
         # --- rows-only queries last driver-checked in r02 ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
         "hll_distinct_words": sketch_queries.hll_distinct_words,
@@ -490,6 +491,17 @@ def oracle_sql() -> dict[str, str]:
             f"'{textpipe.PII_IP}', '<IP>', 'g'), "
             f"'{textpipe.PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) "
             "AS scrubbed_len FROM documents"
+        ),
+        # TPC-H Q18: HAVING on the aggregated fact, integer quantities
+        "large_volume_orders": (
+            "WITH t AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS total_qty FROM lineitem GROUP BY l_orderkey "
+            "HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 250) "
+            "SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, "
+            "t.total_qty, c.c_custkey, c.c_name "
+            "FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey"
         ),
         # corpus-duplicated 8-gram coverage per source: exact string
         # semantics; integer counts + ONE final double division

@@ -2762,6 +2762,103 @@ def returned_item_revenue(
     return out[["rnk", "c_custkey", "c_name", "n_name", "revenue"]]
 
 
+def large_volume_orders(sf_dir: str, qty_threshold: int = 250):
+    """TPC-H Q18 shape: orders whose TOTAL lineitem quantity exceeds
+    ``qty_threshold``, enriched with the ordering customer — the
+    HAVING-on-an-aggregated-fact semi-join (distinct from Q1's pure
+    rollup, Q3/Q5's star joins, Q10's top-k: here the join's build
+    side is itself the output of a fact aggregation).
+
+    Plan: the lineitem scan reads TWO columns and pre-aggregates
+    (orderkey, qty) per batch; partials reduce in coarse orderkey
+    buckets with numpy segment sums (the measured-faster alternative
+    to a high-cardinality ``aggregate``), and ONLY the orders beating
+    the threshold (~1% of keys) leave the bucket stage.  Those winners
+    hash-join orders, then customer — both joins' left side is
+    threshold-proportional, never fact-proportional, and nothing
+    materializes on the driver.  Quantities sum as exact int64
+    (fail-fast if a quantity is non-integral), so the DuckDB oracle
+    matches bit-for-bit.
+    """
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        num_shuffle_buckets,
+    )
+
+    n_buckets = num_shuffle_buckets()
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        qi = np.rint(q)
+        if q.size and not np.array_equal(qi, q):
+            raise ValueError("non-integral l_quantity; exact-sum contract broken")
+        g = _group_sum(
+            pa.table(
+                {
+                    "l_orderkey": batch["l_orderkey"],
+                    "total_qty": pa.array(qi.astype(np.int64)),
+                }
+            ),
+            ["l_orderkey"],
+        )
+        b = g["l_orderkey"].to_numpy(zero_copy_only=False) % np.int64(n_buckets)
+        return g.append_column("bucket", pa.array(b, pa.int64()))
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["l_orderkey"].to_numpy(dtype=np.int64)
+        qty = g["total_qty"].to_numpy(dtype=np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok_s = ok[order]
+        starts = np.r_[0, np.flatnonzero(ok_s[1:] != ok_s[:-1]) + 1]
+        tot = np.add.reduceat(qty[order], starts)
+        keep = tot > qty_threshold
+        return pd.DataFrame(
+            {"l_orderkey": ok_s[starts][keep], "total_qty": tot[keep]}
+        )
+
+    win = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(winners, batch_format="pandas")
+    )
+
+    out_cols = [
+        "o_orderkey", "o_orderdate", "o_totalprice",
+        "total_qty", "c_custkey", "c_name",
+    ]
+    # empty winner set -> join kernels reject a schema-less side
+    if win.count() == 0:
+        return pd.DataFrame(columns=out_cols)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    n_parts = _join_partitions(sf_dir, ["orders", "lineitem"])
+    joined = win.join(
+        orders,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).join(
+        cust,
+        join_type="inner",
+        num_partitions=max(2, _join_partitions(sf_dir, ["customer"])),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    # join keeps only the LEFT key column; restore the output names
+    return joined.rename_columns(
+        {"l_orderkey": "o_orderkey", "o_custkey": "c_custkey"}
+    ).select_columns(out_cols)
+
+
 def corpus_sample(sf_dir: str, n: int = 50):
     """Deterministic uniform corpus sample: the n docs with the
     smallest md5(doc_id) — coordination-free (any rerun, any node, and

@@ -129,6 +129,7 @@ def _to_pandas(res):
         "returned_item_revenue",
         "pii_scrub",
         "dup_ngram_coverage",
+        "large_volume_orders",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -1324,3 +1325,18 @@ def test_dup_ngram_coverage_planted_multiblock(ray_session, tmp_path):
     # s2: doc1 has 3 windows, exactly one of which is x; doc3 none
     assert int(r.loc["s2", "n_shingles"]) == 3
     assert int(r.loc["s2", "dup_shingles"]) == 1
+
+
+def test_large_volume_orders_empty_threshold(ray_session):
+    """A threshold above every order's total quantity exercises the
+    empty-winners guard (the join kernels reject a schema-less side)."""
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        large_volume_orders,
+    )
+
+    out = _to_pandas(large_volume_orders(SF_UNIT, qty_threshold=10**9))
+    assert len(out) == 0
+    assert list(out.columns) == [
+        "o_orderkey", "o_orderdate", "o_totalprice",
+        "total_qty", "c_custkey", "c_name",
+    ]

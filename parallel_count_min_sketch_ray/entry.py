@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textpipe.pii_scrub,
         "dup_ngram_coverage": textpipe.dup_ngram_coverage,
         "large_volume_orders": analytics.large_volume_orders,
+        "doc_dup_stats": textpipe.doc_dup_stats,
         # --- rows-only queries last driver-checked in r02 ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
         "hll_distinct_words": sketch_queries.hll_distinct_words,
@@ -491,6 +492,25 @@ def oracle_sql() -> dict[str, str]:
             f"'{textpipe.PII_IP}', '<IP>', 'g'), "
             f"'{textpipe.PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) "
             "AS scrubbed_len FROM documents"
+        ),
+        # per-doc duplicated-window stats; same double division both
+        # sides, threshold compare on identical IEEE doubles
+        "doc_dup_stats": (
+            "WITH w AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS words "
+            "FROM documents), "
+            "s AS (SELECT doc_id, array_to_string(words[i:i+7], ' ') AS sh "
+            "FROM w, unnest(range(1, len(words) - 6)) AS t(i) "
+            "WHERE len(words) >= 8), "
+            "g AS (SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY sh) "
+            "SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, "
+            "CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS dup_windows, "
+            "CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ COUNT(*) AS dup_fraction, "
+            "(CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ COUNT(*)) > 0.5 AS flagged "
+            "FROM s JOIN g USING (sh) GROUP BY s.doc_id"
         ),
         # TPC-H Q18: HAVING on the aggregated fact, integer quantities
         "large_volume_orders": (

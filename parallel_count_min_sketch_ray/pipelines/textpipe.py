@@ -557,6 +557,104 @@ def dup_ngram_coverage(sf_dir: str, w: int = 8, n_buckets: int = 64):
     )
 
 
+def doc_dup_stats(sf_dir: str, w: int = 8, threshold: float = 0.5,
+                  n_buckets: int = 64):
+    """Per-DOCUMENT duplicated-window fraction — the granularity a
+    curation pipeline actually filters on (drop docs that are mostly
+    boilerplate shared with other docs; the doc-level view of
+    :func:`dup_ngram_coverage`).  For each doc with >= ``w`` words:
+    total window occurrences, occurrences whose exact window appears
+    in >= 2 distinct docs corpus-wide, their ratio, and a
+    ``flagged`` bit at ``ratio > threshold``.
+
+    Scale shape: per-batch rows are already-distinct ``(sh, doc)``
+    pairs with occurrence counts (a doc never straddles batches, so
+    pairs are globally distinct and each shingle's distinct-doc count
+    is a plain in-bucket segment COUNT).  Pairs shuffle once on
+    ``hash64(sh) % n_buckets``; each bucket folds to per-doc partials
+    before the small final per-doc sum — identical exchange class to
+    :func:`dup_ngram_coverage`, output one row per eligible doc.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        wins, counts = _full_windows(texts, w)
+        if not wins:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                }
+            )
+        idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        t = pa.table(
+            {
+                "sh": pa.array(wins, pa.string()),
+                "doc_id": batch["doc_id"].take(pa.array(idx)),
+            }
+        )
+        g = t.group_by(["sh", "doc_id"]).aggregate([("doc_id", "count")])
+        keys = hash64_strings(g["sh"].to_pylist())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (keys % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "sh": g["sh"],
+                "doc_id": g["doc_id"],
+                "occ": g["doc_id_count"].cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        occ = g["occ"].to_numpy(dtype=np.int64)
+        order = np.argsort(sh, kind="stable")
+        sh_s = sh[order]
+        starts = np.r_[0, np.flatnonzero(sh_s[1:] != sh_s[:-1]) + 1]
+        seg = np.diff(np.r_[starts, len(sh_s)])
+        dup_row = np.empty(len(sh), dtype=bool)
+        dup_row[order] = np.repeat(seg >= 2, seg)  # rows ARE distinct docs
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_windows": occ,
+                "dup_windows": np.where(dup_row, occ, np.int64(0)),
+            }
+        )
+        return out.groupby("doc_id", as_index=False).sum()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_windows"].to_numpy(zero_copy_only=False)
+        d = batch["dup_windows"].to_numpy(zero_copy_only=False)
+        frac = d.astype(np.float64) / n.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_windows": batch["n_windows"],
+                "dup_windows": batch["dup_windows"],
+                "dup_fraction": pa.array(frac),
+                "flagged": pa.array(frac > threshold),
+            }
+        )
+
+    return (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_windows", alias_name="n_windows"),
+            Sum("dup_windows", alias_name="dup_windows"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def repetition_stats(sf_dir: str, threshold: float = 0.75):
     """Intra-document repetition quality signal (the Gopher-rule
     shape): per doc, the duplicate-word fraction

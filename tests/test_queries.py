@@ -130,6 +130,7 @@ def _to_pandas(res):
         "pii_scrub",
         "dup_ngram_coverage",
         "large_volume_orders",
+        "doc_dup_stats",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -1296,8 +1297,13 @@ def test_dup_ngram_coverage_planted_multiblock(ray_session, tmp_path):
         [(0, "s1", f"{x} {x}")],
         # doc 1 (other file/batch): x once -> now duplicated corpus-wide
         [(1, "s2", f"{x} tail9 tail10")],
-        # doc 2: all-unique windows; doc 3: too short to shingle
-        [(2, "s1", "u1 u2 u3 u4 u5 u6 u7 u8 u9"), (3, "s2", "tiny doc")],
+        # doc 2: all-unique windows; doc 3: too short to shingle;
+        # doc 4: exactly x -> dup_fraction 1.0, the flagged case
+        [
+            (2, "s1", "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+            (3, "s2", "tiny doc"),
+            (4, "s3", x),
+        ],
     ]
     for i, rows in enumerate(parts):
         tbl = pa.table(
@@ -1319,12 +1325,28 @@ def test_dup_ngram_coverage_planted_multiblock(ray_session, tmp_path):
 
     r = res.set_index("source")
     # s1: doc0 has 9 windows (len 16), doc2 has 2 -> 11 total; only the
-    # two in-doc copies of x are corpus-duplicated (doc1 has it too)
+    # two in-doc copies of x are corpus-duplicated (docs 1 and 4 too)
     assert int(r.loc["s1", "n_shingles"]) == 11
     assert int(r.loc["s1", "dup_shingles"]) == 2
     # s2: doc1 has 3 windows, exactly one of which is x; doc3 none
     assert int(r.loc["s2", "n_shingles"]) == 3
     assert int(r.loc["s2", "dup_shingles"]) == 1
+    # s3: doc4 IS x — its single window is duplicated
+    assert int(r.loc["s3", "dup_shingles"]) == 1
+
+    # doc-level view over the same fixture, same oracle discipline
+    from parallel_count_min_sketch_ray.pipelines.textpipe import doc_dup_stats
+
+    dd = _to_pandas(doc_dup_stats(str(tmp_path)))
+    ddo = c.sql(em.oracle_sql()["doc_dup_stats"]).df()
+    pd.testing.assert_frame_equal(_canon(dd), _canon(ddo), check_dtype=True)
+    by_doc = dd.set_index("doc_id")
+    assert int(by_doc.loc[0, "n_windows"]) == 9
+    assert int(by_doc.loc[0, "dup_windows"]) == 2  # both in-doc copies of x
+    assert not bool(by_doc.loc[0, "flagged"])  # 2/9 < 0.5
+    assert int(by_doc.loc[1, "dup_windows"]) == 1
+    assert bool(by_doc.loc[4, "flagged"])  # 1/1 > 0.5
+    assert 3 not in by_doc.index  # short docs emit nothing
 
 
 def test_large_volume_orders_empty_threshold(ray_session):

@@ -120,6 +120,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_coverage": textpipe.dup_ngram_coverage,
         "large_volume_orders": analytics.large_volume_orders,
         "doc_dup_stats": textpipe.doc_dup_stats,
+        # NEW in round-5 session 2, oracle-checked: TPC-H Q6/Q14/Q4/Q19
+        "forecast_revenue": analytics.forecast_revenue,
+        "promo_revenue": analytics.promo_revenue,
+        "order_priority_check": analytics.order_priority_check,
+        "discounted_revenue": analytics.discounted_revenue,
         # --- rows-only queries last driver-checked in r02 ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
         "hll_distinct_words": sketch_queries.hll_distinct_words,
@@ -522,6 +527,56 @@ def oracle_sql() -> dict[str, str]:
             "t.total_qty, c.c_custkey, c.c_name "
             "FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey "
             "JOIN customer c ON c.c_custkey = o.o_custkey"
+        ),
+        # TPC-H Q6: pure filter-and-sum; discount predicate on exact
+        # integer cents so both sides select the identical row set
+        "forecast_revenue": (
+            "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 "
+            "AS revenue FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_quantity < 24 "
+            "AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7"
+        ),
+        # TPC-H Q14: promo share of one month's revenue; integer 1e-4
+        # dollars inside, the oracle's exact 100.0*p/t expression once
+        "promo_revenue": (
+            "WITH j AS (SELECT "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev, "
+            "p.p_type = 'PROMO' AS is_promo "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-04-01' "
+            "AND l_shipdate < TIMESTAMP '1996-05-01') "
+            "SELECT 100.0 * "
+            "CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END) AS DOUBLE) / "
+            "CAST(SUM(rev) AS DOUBLE) AS promo_revenue FROM j"
+        ),
+        # TPC-H Q4 shape: EXISTS semi-join between two facts (late =
+        # shipped > 60 days after the order date; schema has no
+        # commit/receipt dates, so lateness anchors on o_orderdate)
+        "order_priority_check": (
+            "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-07-01' "
+            "AND o_orderdate < TIMESTAMP '1996-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # TPC-H Q19 shape: OR-of-conjunctions over (brand, size, qty)
+        "discounted_revenue": (
+            "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) "
+            "/ 10000.0 AS revenue "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)"
         ),
         # corpus-duplicated 8-gram coverage per source: exact string
         # semantics; integer counts + ONE final double division

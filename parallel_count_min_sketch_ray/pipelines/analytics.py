@@ -3251,3 +3251,293 @@ def source_token_joinsize(sf_dir: str, src_a: str = "src0", src_b: str = "src1")
             "join_size": [np.int64(agg["join_size"])],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 session-2 TPC-H shapes: Q6 / Q14 / Q4 / Q19
+# ---------------------------------------------------------------------------
+
+
+def forecast_revenue(
+    sf_dir: str,
+    year: int = 1996,
+    disc_lo_c: int = 5,
+    disc_hi_c: int = 7,
+    qty_cap: int = 24,
+):
+    """TPC-H Q6 shape: revenue delta from a discount policy change —
+    the pure filter-and-sum fact scan (no join, no groupby), the
+    cheapest query in the dial and the one where read pruning IS the
+    whole plan: two predicate columns are pushed into the parquet
+    scan, only four columns leave storage, and each batch collapses
+    to ONE partial int64 before the O(blocks) reduce.
+
+    The discount predicate is applied on exact integer cents (not the
+    stored double) so Ray and the DuckDB oracle select the identical
+    row set; revenue sums as int64 1e-4 dollars (exact, associative),
+    divided once at the end — bit-equal to the oracle's expression.
+    """
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        m = (disc_c >= disc_lo_c) & (disc_c <= disc_hi_c)
+        return pa.table(
+            {"rev_i": pa.array([int((ext_c[m] * disc_c[m]).sum())], pa.int64())}
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_extendedprice", "l_discount"],
+            filter=(
+                (pc.field("l_shipdate") >= lo)
+                & (pc.field("l_shipdate") < hi)
+                & (pc.field("l_quantity") < qty_cap)
+            ),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("rev_i", alias_name="rev_i"))
+    )
+    rev = agg["rev_i"]
+    return pd.DataFrame(
+        {"revenue": [np.nan if rev is None else np.float64(rev) / 10000.0]}
+    )
+
+
+def promo_revenue(sf_dir: str, month: str = "1996-04"):
+    """TPC-H Q14 shape: share of one month's discounted revenue that
+    came from promotional parts — the conditional-aggregate-over-a-
+    dimension-join plan.  The part table rides the broadcast tier
+    (one sorted ``p_partkey`` array + a promo bitmask via ``ray.put``,
+    searchsorted lookup per batch — ~9 bytes/part, fine to ~10^8
+    parts; beyond that the drop-in spelling is the repo's native hash
+    join as in ``large_volume_orders``), so the month's fact scan is
+    the only data motion: each batch emits TWO int64 partials
+    (promo revenue, total revenue) and the reduce is O(blocks).
+
+    Revenue is exact int64 1e-4 dollars; the final percentage is the
+    oracle's expression ``100.0 * promo / total`` evaluated once in
+    float64, so the result is bit-equal to DuckDB.
+    """
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp(f"{month}-01")
+    hi = lo + pd.DateOffset(months=1)
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).take_all()
+    pk = np.array([r["p_partkey"] for r in part], dtype=np.int64)
+    promo = np.array([r["p_type"] == "PROMO" for r in part], dtype=bool)
+    order = np.argsort(pk, kind="stable")
+    pk, promo = pk[order], promo[order]
+    pk_ref, promo_ref = ray.put(pk), ray.put(promo)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        flags = ray.get(promo_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        rev = ext_c * (100 - disc_c)
+        pos = np.searchsorted(keys, lp)
+        pos[pos == len(keys)] = 0
+        hit = keys[pos] == lp
+        if not hit.all():
+            # inner-join semantics: lines whose part is missing drop out
+            rev, pos = rev[hit], pos[hit]
+        is_promo = flags[pos]
+        return pa.table(
+            {
+                "promo_i": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total_i": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+            filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("promo_i", alias_name="p"), Sum("total_i", alias_name="t"))
+    )
+    p, t = agg["p"], agg["t"]
+    if p is None or t is None or t == 0:
+        return pd.DataFrame({"promo_revenue": [np.nan]})
+    return pd.DataFrame(
+        {"promo_revenue": [100.0 * np.float64(p) / np.float64(t)]}
+    )
+
+
+def order_priority_check(
+    sf_dir: str, q_start: str = "1996-07-01", late_days: int = 60
+):
+    """TPC-H Q4 shape: per-priority count of one quarter's orders with
+    at least one LATE lineitem (shipped > ``late_days`` after the
+    order date) — the EXISTS-semi-join-between-two-facts plan.
+
+    Plan: the quarter's orders (~1/28 of the orders table — the same
+    broadcast budget as Q3's market segment) ship to every lineitem
+    task as three sorted arrays (orderkey, orderdate, priority code)
+    via ``ray.put``; each lineitem batch searchsorts its orderkeys,
+    applies the lateness test against the matched order date, and
+    emits only its DISTINCT late orderkeys.  Distinctness is settled
+    in coarse orderkey-bucket ``map_groups`` (the EXISTS: one count
+    per order no matter how many late lines), which emit per-priority
+    partial counts — so the exchange is ∝ distinct late orders, never
+    lineitem rows.  Above the broadcast budget the drop-in spelling is
+    the Bloom-prefiltered hash semi-join of ``bloom_semijoin_count``.
+    """
+    from ray.data.aggregate import Sum
+    from parallel_count_min_sketch_ray.stages.partitioning import (
+        num_shuffle_buckets,
+    )
+
+    lo = pd.Timestamp(q_start)
+    hi = lo + pd.DateOffset(months=3)
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+    n_buckets = num_shuffle_buckets()
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).take_all()
+    out_cols = ["o_orderpriority", "order_count"]
+    if not orders:
+        return pd.DataFrame(
+            {"o_orderpriority": pd.Series([], dtype=object),
+             "order_count": pd.Series([], dtype=np.int64)}
+        )
+    ok = np.array([r["o_orderkey"] for r in orders], dtype=np.int64)
+    od = np.array(
+        [np.datetime64(r["o_orderdate"], "us") for r in orders]
+    ).astype(np.int64)
+    prio_codes, prio_cats = pd.factorize(
+        np.array([r["o_orderpriority"] for r in orders], dtype=object)
+    )
+    order = np.argsort(ok, kind="stable")
+    ok, od, prio_codes = ok[order], od[order], prio_codes[order].astype(np.int8)
+    ok_ref = ray.put(ok)
+    od_ref = ray.put(od)
+    prio_ref = ray.put(prio_codes)
+
+    def late_keys(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ok_ref)
+        dates = ray.get(od_ref)
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lk)
+        pos[pos == len(keys)] = 0
+        late = (keys[pos] == lk) & (ship > dates[pos] + late_us)
+        uniq = np.unique(lk[late])
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq, pa.int64()),
+                "bucket": pa.array(uniq % np.int64(n_buckets), pa.int64()),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ok_ref)
+        prios = ray.get(prio_ref)
+        uniq = np.unique(g["l_orderkey"].to_numpy(dtype=np.int64))
+        codes = prios[np.searchsorted(keys, uniq)]
+        cnt = np.bincount(codes, minlength=len(prio_cats)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"prio_code": nz.astype(np.int64), "order_count": cnt[nz]})
+
+    per_prio = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        )
+        .map_batches(late_keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("prio_code")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+        .to_pandas()
+    )
+    per_prio["o_orderpriority"] = prio_cats[
+        per_prio["prio_code"].to_numpy(dtype=np.int64)
+    ]
+    per_prio["order_count"] = per_prio["order_count"].astype(np.int64)
+    return (
+        per_prio[out_cols]
+        .sort_values("o_orderpriority", kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+def discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue from three disjunctive
+    (brand, size-range, quantity-range) clause combinations — the
+    OR-of-conjunctions predicate that defeats naive pushdown.  The
+    part side collapses to a 3-bit clause bitmask per partkey
+    (broadcast, same budget note as ``promo_revenue``); each lineitem
+    batch resolves the full disjunction with numpy masks (part clause
+    bit AND quantity window) and emits one int64 revenue partial.
+    Exchange: O(blocks) rows total.
+    """
+    from ray.data.aggregate import Sum
+
+    clauses = [  # (brand, size_hi, qty_lo, qty_hi); sizes all start at 1
+        ("Brand#11", 5, 1, 11),
+        ("Brand#12", 10, 10, 20),
+        ("Brand#13", 15, 20, 30),
+    ]
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=pc.field("p_brand").isin([c[0] for c in clauses]),
+    ).take_all()
+    pk = np.array([r["p_partkey"] for r in part], dtype=np.int64)
+    mask = np.zeros(len(part), dtype=np.uint8)
+    for i, (brand, size_hi, _, _) in enumerate(clauses):
+        bits = np.array(
+            [r["p_brand"] == brand and 1 <= r["p_size"] <= size_hi for r in part],
+            dtype=bool,
+        )
+        mask |= bits.astype(np.uint8) << i
+    order = np.argsort(pk, kind="stable")
+    pk, mask = pk[order], mask[order]
+    pk_ref, mask_ref = ray.put(pk), ray.put(mask)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        bits = ray.get(mask_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        sel = np.zeros(len(lp), dtype=bool)
+        if len(keys):
+            pos = np.searchsorted(keys, lp)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == lp
+            m = np.where(hit, bits[pos], 0).astype(np.uint8)
+            for i, (_, _, qlo, qhi) in enumerate(clauses):
+                sel |= ((m >> i) & 1).astype(bool) & (qty >= qlo) & (qty <= qhi)
+        ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        rev = int((ext_c[sel] * (100 - disc_c[sel])).sum())
+        return pa.table({"rev_i": pa.array([rev], pa.int64())})
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("rev_i", alias_name="rev_i"))
+    )
+    rev = agg["rev_i"]
+    return pd.DataFrame(
+        {"revenue": [np.nan if rev is None else np.float64(rev) / 10000.0]}
+    )

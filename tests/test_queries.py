@@ -131,6 +131,10 @@ def _to_pandas(res):
         "dup_ngram_coverage",
         "large_volume_orders",
         "doc_dup_stats",
+        "forecast_revenue",
+        "promo_revenue",
+        "order_priority_check",
+        "discounted_revenue",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

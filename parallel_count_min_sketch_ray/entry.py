@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": analytics.promo_revenue,
         "order_priority_check": analytics.order_priority_check,
         "discounted_revenue": analytics.discounted_revenue,
+        # NEW in round-5 session 3, oracle-checked: TPC-H Q13/Q7
+        "customer_order_distribution": analytics.customer_order_distribution,
+        "nation_trade_volume": analytics.nation_trade_volume,
         # --- rows-only queries last driver-checked in r02 ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
         "hll_distinct_words": sketch_queries.hll_distinct_words,
@@ -577,6 +580,37 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 "
             "AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        # TPC-H Q13 shape: LEFT OUTER JOIN + two-level aggregation —
+        # the zero bucket comes from unmatched customers
+        "customer_order_distribution": (
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS c_count "
+            "FROM customer c LEFT OUTER JOIN orders o "
+            "ON c.c_custkey = o.o_custkey "
+            "AND o.o_orderpriority <> '1-URGENT' "
+            "GROUP BY c.c_custkey) GROUP BY c_count"
+        ),
+        # TPC-H Q7 shape: bidirectional two-nation volume, per
+        # direction per ship year; integer 1e-4 dollars inside
+        "nation_trade_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE) "
+            "/ 10000.0 AS revenue "
+            "FROM lineitem l "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n1 ON n1.n_nationkey = s.s_nationkey "
+            "JOIN nation n2 ON n2.n_nationkey = c.c_nationkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11') "
+            "OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')) "
+            "GROUP BY 1, 2, 3"
         ),
         # corpus-duplicated 8-gram coverage per source: exact string
         # semantics; integer counts + ONE final double division

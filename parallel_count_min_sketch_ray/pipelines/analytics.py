@@ -3541,3 +3541,256 @@ def discounted_revenue(sf_dir: str):
     return pd.DataFrame(
         {"revenue": [np.nan if rev is None else np.float64(rev) / 10000.0]}
     )
+
+
+def customer_order_distribution(
+    sf_dir: str,
+    exclude_priority: str = "1-URGENT",
+    num_partitions: int | None = None,
+):
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    INCLUDING the zero bucket — the LEFT OUTER JOIN + two-level
+    aggregation plan, and the repo's first native
+    ``join_type="left_outer"`` use (the anti-join sibling is
+    ``customers_without_orders``).
+
+    Plan: the orders scan prunes to ONE column with the priority
+    predicate pushed into the read, pre-aggregates to one row per
+    custkey inside ``map_batches`` partials, then a keyed groupby
+    finishes the per-customer counts — so the outer join's right side
+    is |customers-with-orders| rows, key-unique, never raw orders.
+    Customer joins it with the native hash-partitioned left-outer
+    join (partition count derived from input bytes; a broadcast
+    custkey→count map would cap at driver memory, the shuffle join
+    scales with the cluster).  NULL counts from unmatched customers
+    ARE the zero bucket (``fill_null(0)`` per batch).  The second
+    aggregation exchanges at most |distinct counts| rows per block —
+    the c_count key space is tiny by construction.
+    """
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        num_partitions = _join_partitions(sf_dir, ["customer", "orders"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") != exclude_priority,
+    )
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "c_count": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return _group_sum(t, ["o_custkey"])
+
+    counts = (
+        orders.map_batches(per_cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("c_count", alias_name="c_count"))
+    )
+    joined = read(sf_dir, "customer", ["c_custkey"]).join(
+        counts,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        cc = pc.fill_null(batch["c_count"], 0).cast(pa.int64())
+        t = pa.table(
+            {
+                "c_count": cc,
+                "custdist": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return _group_sum(t, ["c_count"])
+
+    out = (
+        joined.map_batches(dist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()
+    )
+    out["c_count"] = out["c_count"].astype(np.int64)
+    out["custdist"] = out["custdist"].astype(np.int64)
+    return (
+        out[["c_count", "custdist"]]
+        .sort_values(["custdist", "c_count"], ascending=False, kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+def nation_trade_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_20",
+    nation_b: str = "NATION_11",
+    ship_lo: str = "1995-01-01",
+    ship_hi: str = "1997-01-01",
+):
+    """TPC-H Q7 shape: shipped volume between two nations, per
+    direction per year — the bidirectional four-table join where BOTH
+    endpoints of every lineitem (supplier nation, customer nation via
+    its order) must resolve before the cross-trade predicate applies.
+
+    Plan: the two small endpoint maps ride the broadcast tier —
+    (a) suppliers of the two nations as a sorted suppkey array + int8
+    nation code, (b) the two nations' customers likewise; the orders
+    scan prunes to TWO columns, searchsorts each batch against the
+    customer set, and only matching (orderkey, cust code) pairs reach
+    the driver (~|two nations' share of orders| · 9 B — the same
+    broadcast budget as Q3/Q4; above it the drop-in spelling is the
+    repo's hash semi-join as in ``bloom_semijoin_count``).  The
+    lineitem scan — the only big data motion — pushes the shipdate
+    range into the read, resolves both endpoints per batch with
+    searchsorted, applies the direction predicate (codes differ), and
+    collapses to (supp_code, cust_code, year) int64 partials: the
+    exchange is O(blocks · 2 · years) rows.  Revenue sums as exact
+    integer 1e-4 dollars, divided once at the end (bit-equal to the
+    oracle).
+    """
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq_
+
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    name2key = dict(
+        zip(nation["n_name"].to_pylist(), nation["n_nationkey"].to_pylist())
+    )
+    keys2 = {int(name2key[nation_a]): 0, int(name2key[nation_b]): 1}
+    names2 = np.array([nation_a, nation_b], dtype=object)
+    lo = pd.Timestamp(ship_lo)
+    hi = pd.Timestamp(ship_hi)
+    out_cols = ["supp_nation", "cust_nation", "l_year", "n_items", "revenue"]
+    empty = pd.DataFrame(
+        {
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype=np.int64),
+            "n_items": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64),
+        }
+    )
+
+    def _two_nation_lookup(table: str, key_col: str, nk_col: str):
+        t = pq_.read_table(f"{sf_dir}/{table}.parquet", columns=[key_col, nk_col])
+        nk = t[nk_col].to_numpy()
+        sel = np.isin(nk, np.fromiter(keys2, dtype=nk.dtype))
+        keys = t[key_col].to_numpy()[sel].astype(np.int64)
+        codes = np.array([keys2[int(k)] for k in nk[sel]], dtype=np.int8)
+        order = np.argsort(keys, kind="stable")
+        return keys[order], codes[order]
+
+    sk, s_code = _two_nation_lookup("supplier", "s_suppkey", "s_nationkey")
+    ck, c_code = _two_nation_lookup("customer", "c_custkey", "c_nationkey")
+    if sk.size == 0 or ck.size == 0:
+        return empty
+    ck_ref = ray.put(ck)
+    cc_ref = ray.put(c_code)
+
+    def order_endpoints(batch: pa.Table) -> pa.Table:
+        ckeys = ray.get(ck_ref)
+        ccodes = ray.get(cc_ref)
+        okeys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ocust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ckeys, ocust)
+        pos[pos == len(ckeys)] = 0
+        hit = ckeys[pos] == ocust
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okeys[hit].astype(np.int64), pa.int64()),
+                "cust_code": pa.array(ccodes[pos[hit]], pa.int8()),
+            }
+        )
+
+    matched = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        .map_batches(order_endpoints, batch_format="pyarrow")
+        .take_all()
+    )
+    if not matched:
+        return empty
+    ok = np.array([r["o_orderkey"] for r in matched], dtype=np.int64)
+    oc = np.array([r["cust_code"] for r in matched], dtype=np.int8)
+    order = np.argsort(ok, kind="stable")
+    ok, oc = ok[order], oc[order]
+    ok_ref = ray.put(ok)
+    oc_ref = ray.put(oc)
+    sk_ref = ray.put(sk)
+    sc_ref = ray.put(s_code)
+
+    def trade_partial(batch: pa.Table) -> pa.Table:
+        okeys = ray.get(ok_ref)
+        ocodes = ray.get(oc_ref)
+        skeys = ray.get(sk_ref)
+        scodes = ray.get(sc_ref)
+        lo_k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ls_k = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        po = np.searchsorted(okeys, lo_k)
+        po[po == len(okeys)] = 0
+        ps = np.searchsorted(skeys, ls_k)
+        ps[ps == len(skeys)] = 0
+        # both endpoints must resolve AND the trade must cross nations
+        sel = (okeys[po] == lo_k) & (skeys[ps] == ls_k)
+        sel &= ocodes[po] != scodes[ps]
+        # 0-row batches flow through the same _group_sum so every
+        # block carries the identical (aggregated-cols, keys) schema
+        sub = batch.filter(pa.array(sel))
+        year = pc.year(sub["l_shipdate"]).to_numpy(zero_copy_only=False)
+        ext_c = _cents(sub["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(sub["l_discount"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "supp_code": pa.array(
+                    scodes[ps[sel]].astype(np.int64), pa.int64()
+                ),
+                "cust_code": pa.array(
+                    ocodes[po[sel]].astype(np.int64), pa.int64()
+                ),
+                "l_year": pa.array(year.astype(np.int64), pa.int64()),
+                "n_items": pa.array(np.ones(int(sel.sum()), dtype=np.int64)),
+                "rev_i": pa.array(ext_c * (100 - disc_c), pa.int64()),
+            }
+        )
+        return _group_sum(t, ["supp_code", "cust_code", "l_year"])
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey",
+                "l_suppkey",
+                "l_shipdate",
+                "l_extendedprice",
+                "l_discount",
+            ],
+            filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+        )
+        .map_batches(trade_partial, batch_format="pyarrow")
+        .groupby(["supp_code", "cust_code", "l_year"])
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("rev_i", alias_name="rev_i"),
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        return empty
+    out["supp_nation"] = names2[out["supp_code"].to_numpy(dtype=np.int64)]
+    out["cust_nation"] = names2[out["cust_code"].to_numpy(dtype=np.int64)]
+    out["l_year"] = out["l_year"].astype(np.int64)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["revenue"] = out["rev_i"].astype(np.float64) / 10000.0
+    return (
+        out[out_cols]
+        .sort_values(["supp_nation", "cust_nation", "l_year"], kind="stable")
+        .reset_index(drop=True)
+    )

@@ -135,6 +135,8 @@ def _to_pandas(res):
         "promo_revenue",
         "order_priority_check",
         "discounted_revenue",
+        "customer_order_distribution",
+        "nation_trade_volume",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -1366,3 +1368,46 @@ def test_large_volume_orders_empty_threshold(ray_session):
         "o_orderkey", "o_orderdate", "o_totalprice",
         "total_qty", "c_custkey", "c_name",
     ]
+
+
+def test_nation_trade_volume_empty_window(ray_session):
+    """A ship window before the data exercises the no-matching-trade
+    guard: empty frame, stable schema and dtypes."""
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        nation_trade_volume,
+    )
+
+    out = _to_pandas(
+        nation_trade_volume(SF_UNIT, ship_lo="1990-01-01", ship_hi="1990-02-01")
+    )
+    assert len(out) == 0
+    assert list(out.columns) == [
+        "supp_nation", "cust_nation", "l_year", "n_items", "revenue",
+    ]
+    assert str(out["l_year"].dtype) == "int64"
+    assert str(out["revenue"].dtype) == "float64"
+
+
+def test_customer_order_distribution_zero_bucket(ray_session, con):
+    """The LEFT OUTER JOIN's defining output: every customer lands in
+    exactly one bucket (custdist sums to |customer|), and with no
+    order excluded the zero bucket is exactly the customers that have
+    NO orders at all."""
+    import pyarrow.parquet as pq_
+
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        customer_order_distribution,
+    )
+
+    n_cust = pq_.read_metadata(f"{SF_UNIT}/customer.parquet").num_rows
+    # an exclude value no order carries keeps EVERY order in the count
+    out = _to_pandas(
+        customer_order_distribution(SF_UNIT, exclude_priority="NO-SUCH")
+    ).set_index("c_count")
+    assert int(out["custdist"].sum()) == n_cust
+    no_orders = con.sql(
+        "SELECT COUNT(*) FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ).fetchone()[0]
+    got_zero = int(out.loc[0, "custdist"]) if 0 in out.index else 0
+    assert got_zero == no_orders

@@ -125,9 +125,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": analytics.promo_revenue,
         "order_priority_check": analytics.order_priority_check,
         "discounted_revenue": analytics.discounted_revenue,
-        # NEW in round-5 session 3, oracle-checked: TPC-H Q13/Q7
+        # NEW in round-5 session 3, oracle-checked: TPC-H Q13/Q7/Q17/Q15
         "customer_order_distribution": analytics.customer_order_distribution,
         "nation_trade_volume": analytics.nation_trade_volume,
+        "small_quantity_revenue": analytics.small_quantity_revenue,
+        "top_supplier_revenue": analytics.top_supplier_revenue,
         # --- rows-only queries last driver-checked in r02 ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
         "hll_distinct_words": sketch_queries.hll_distinct_words,
@@ -153,8 +155,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": analytics.lang_source_counts,
         "token_f2": analytics.token_f2,
         "top_terms_per_source": analytics.top_terms_per_source,
-        # ^ cap boundary (~50 entries above): everything below had a
-        # green driver row from r04 code
+        # ^ cap boundary (~52 entries above — the session-3 Q13/Q7/Q17/Q15
+        # additions push the tail slightly past ~50; everything at or
+        # below this line had a green driver row from r04 code, so
+        # nothing unverified can fall outside the window)
         "bigram_counts": analytics.bigram_counts,
         "doc_top_tfidf": analytics.doc_top_tfidf,
         "doc_split_stats": analytics.doc_split_stats,
@@ -611,6 +615,30 @@ def oracle_sql() -> dict[str, str]:
             "AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11') "
             "OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')) "
             "GROUP BY 1, 2, 3"
+        ),
+        # TPC-H Q17 shape: aggregate-then-rejoin-the-same-fact
+        # (correlated scalar subquery); quantities are integral-valued
+        # doubles so AVG is exact in float64
+        "small_quantity_revenue": (
+            "SELECT COALESCE(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) "
+            "AS BIGINT)) AS DOUBLE) / 700.0, 0.0) AS avg_yearly "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE p.p_brand = 'Brand#19' "
+            "AND l.l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) "
+            "FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"
+        ),
+        # TPC-H Q15 shape: argmax over an aggregate (view + MAX), ties kept
+        "top_supplier_revenue": (
+            "WITH r AS (SELECT l_suppkey, "
+            "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_i "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s.s_suppkey, s.s_name, "
+            "CAST(r.rev_i AS DOUBLE) / 10000.0 AS total_revenue "
+            "FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
+            "WHERE r.rev_i = (SELECT MAX(rev_i) FROM r)"
         ),
         # corpus-duplicated 8-gram coverage per source: exact string
         # semantics; integer counts + ONE final double division

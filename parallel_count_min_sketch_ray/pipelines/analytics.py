@@ -3794,3 +3794,177 @@ def nation_trade_volume(
         .sort_values(["supp_nation", "cust_nation", "l_year"], kind="stable")
         .reset_index(drop=True)
     )
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#19"):
+    """TPC-H Q17 shape: yearly-averaged revenue that would vanish if
+    small-quantity orders (below 20% of their part's average order
+    quantity) stopped — the aggregate-then-rejoin-the-same-fact plan
+    (a correlated scalar subquery in SQL).
+
+    Plan: two PRUNED fact scans instead of an all-to-all self-join.
+    Scan 1 computes per-part (qty sum, count) partials for the one
+    brand's parts (brand partkeys ride the broadcast tier, ~1/|brands|
+    of the part table) and the per-part thresholds come back to the
+    driver — bounded by |brand's parts|, the same broadcast budget as
+    the part side itself.  Scan 2 re-reads lineitem, searchsorts each
+    batch against (partkey, threshold) and emits ONE revenue partial.
+    Exchange: O(|brand parts|) + O(blocks) rows; lineitem rows never
+    shuffle.  Quantities are integral-valued doubles ≤ 50, so the
+    int64 quantity sums (and the float64 sum/count division) are
+    exact — the 0.2·avg threshold is bit-equal to the oracle's.
+    """
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq_
+
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filters=[("p_brand", "=", brand)],
+    )
+    empty = pd.DataFrame({"avg_yearly": pd.Series([0.0], dtype=np.float64)})
+    if part.num_rows == 0:
+        return empty
+    bk = np.sort(part["p_partkey"].to_numpy().astype(np.int64))
+    bk_ref = ray.put(bk)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(bk_ref)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lk)
+        pos[pos == len(keys)] = 0
+        sel = keys[pos] == lk
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[sel]
+        t = pa.table(
+            {
+                "l_partkey": pa.array(lk[sel].astype(np.int64), pa.int64()),
+                "qty_i": pa.array(np.round(qty).astype(np.int64), pa.int64()),
+                "n_lines": pa.array(np.ones(int(sel.sum()), dtype=np.int64)),
+            }
+        )
+        return _group_sum(t, ["l_partkey"])
+
+    per_part = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(
+            Sum("qty_i", alias_name="qty_i"),
+            Sum("n_lines", alias_name="n_lines"),
+        )
+        .to_pandas()
+    )
+    if per_part.empty:
+        return empty
+    tk = per_part["l_partkey"].to_numpy(dtype=np.int64)
+    thr = 0.2 * (
+        per_part["qty_i"].to_numpy(dtype=np.float64)
+        / per_part["n_lines"].to_numpy(dtype=np.float64)
+    )
+    order = np.argsort(tk, kind="stable")
+    tk, thr = tk[order], thr[order]
+    tk_ref = ray.put(tk)
+    thr_ref = ray.put(thr)
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(tk_ref)
+        cuts = ray.get(thr_ref)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lk)
+        pos[pos == len(keys)] = 0
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        sel = (keys[pos] == lk) & (qty < cuts[pos])
+        ext_c = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[sel]
+        )
+        return pa.table({"rev_c": pa.array([int(ext_c.sum())], pa.int64())})
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(rev_partial, batch_format="pyarrow")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    rev = agg["rev_c"]
+    return pd.DataFrame(
+        {
+            "avg_yearly": [
+                0.0 if rev is None else np.float64(rev) / 700.0
+            ]
+        }
+    )
+
+
+def top_supplier_revenue(sf_dir: str, q_start: str = "1996-01-01"):
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue in
+    one quarter — the argmax-over-an-aggregate plan (the SQL view +
+    MAX subquery).
+
+    Plan: the quarter's lineitem scan (shipdate range pushed into the
+    read) collapses to per-supplier revenue partials before ONE keyed
+    groupby; the global max is a scalar reduce over that small
+    aggregate (never a driver materialization of it); only the
+    tie-set of winners — almost always one row — leaves the
+    aggregate, and the supplier dimension is read back winner-only
+    with an ``isin`` pushdown (the k-winner-only enrichment pattern
+    of ``returned_item_revenue``).
+    """
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp(q_start)
+    hi = lo + pd.DateOffset(months=3)
+    empty = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=object),
+            "total_revenue": pd.Series([], dtype=np.float64),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+                "rev_i": pa.array(ext_c * (100 - disc_c), pa.int64()),
+            }
+        )
+        return _group_sum(t, ["l_suppkey"])
+
+    per_supp = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+            filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_i", alias_name="rev_i"))
+    )
+    best = per_supp.max("rev_i")
+    if best is None:
+        return empty
+    winners = per_supp.filter(
+        expr=f"rev_i == {int(best)}"
+    ).to_pandas()  # tie-set only: ≥1 row, almost always exactly 1
+    import pyarrow.parquet as pq_
+
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", winners["l_suppkey"].tolist())],
+    ).to_pandas()
+    out = winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = out["rev_i"].astype(np.float64) / 10000.0
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    return (
+        out[["s_suppkey", "s_name", "total_revenue"]]
+        .sort_values("s_suppkey", kind="stable")
+        .reset_index(drop=True)
+    )

@@ -137,6 +137,8 @@ def _to_pandas(res):
         "discounted_revenue",
         "customer_order_distribution",
         "nation_trade_volume",
+        "small_quantity_revenue",
+        "top_supplier_revenue",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -1411,3 +1413,27 @@ def test_customer_order_distribution_zero_bucket(ray_session, con):
     ).fetchone()[0]
     got_zero = int(out.loc[0, "custdist"]) if 0 in out.index else 0
     assert got_zero == no_orders
+
+
+def test_small_quantity_revenue_unknown_brand(ray_session):
+    """A brand with no parts exercises the empty-broadcast guard:
+    one row, 0.0 (the oracle's COALESCE does the same)."""
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        small_quantity_revenue,
+    )
+
+    out = _to_pandas(small_quantity_revenue(SF_UNIT, brand="Brand#NO"))
+    assert len(out) == 1
+    assert float(out["avg_yearly"].iloc[0]) == 0.0
+
+
+def test_top_supplier_revenue_empty_quarter(ray_session):
+    """A quarter before the data exercises the no-winners guard:
+    empty frame, stable schema."""
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        top_supplier_revenue,
+    )
+
+    out = _to_pandas(top_supplier_revenue(SF_UNIT, q_start="1990-01-01"))
+    assert len(out) == 0
+    assert list(out.columns) == ["s_suppkey", "s_name", "total_revenue"]

@@ -125,11 +125,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": analytics.promo_revenue,
         "order_priority_check": analytics.order_priority_check,
         "discounted_revenue": analytics.discounted_revenue,
-        # NEW in round-5 session 3, oracle-checked: TPC-H Q13/Q7/Q17/Q15
+        # NEW in round-5 session 3, oracle-checked: TPC-H Q13/Q7/Q17/Q15/Q8
         "customer_order_distribution": analytics.customer_order_distribution,
         "nation_trade_volume": analytics.nation_trade_volume,
         "small_quantity_revenue": analytics.small_quantity_revenue,
         "top_supplier_revenue": analytics.top_supplier_revenue,
+        "market_share": analytics.market_share,
         # --- rows-only queries last driver-checked in r02 ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
         "hll_distinct_words": sketch_queries.hll_distinct_words,
@@ -155,10 +156,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": analytics.lang_source_counts,
         "token_f2": analytics.token_f2,
         "top_terms_per_source": analytics.top_terms_per_source,
-        # ^ cap boundary (~52 entries above — the session-3 Q13/Q7/Q17/Q15
-        # additions push the tail slightly past ~50; everything at or
-        # below this line had a green driver row from r04 code, so
-        # nothing unverified can fall outside the window)
+        # ^ cap boundary (~53 entries above — the session-3
+        # Q13/Q7/Q17/Q15/Q8 additions push the tail slightly past ~50;
+        # everything at or below this line had a green driver row from
+        # r04 code, so nothing unverified can fall outside the window)
         "bigram_counts": analytics.bigram_counts,
         "doc_top_tfidf": analytics.doc_top_tfidf,
         "doc_split_stats": analytics.doc_split_stats,
@@ -639,6 +640,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r.rev_i AS DOUBLE) / 10000.0 AS total_revenue "
             "FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
             "WHERE r.rev_i = (SELECT MAX(rev_i) FROM r)"
+        ),
+        # TPC-H Q8 shape: share-of-group conditional aggregate over the
+        # snowflake, both nation roles resolved; int64 revenue inside,
+        # one CASE-WHEN ratio per year at the end
+        "market_share": (
+            "WITH j AS (SELECT "
+            "CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev, "
+            "n1.n_name = 'NATION_20' AS is_target "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "AND p.p_type = 'ECONOMY' "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n1 ON n1.n_nationkey = s.s_nationkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n2 ON n2.n_nationkey = c.c_nationkey "
+            "JOIN region r ON r.r_regionkey = n2.n_regionkey "
+            "AND r.r_name = 'EUROPE' "
+            "WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1997-01-01') "
+            "SELECT o_year, "
+            "CAST(SUM(CASE WHEN is_target THEN rev ELSE 0 END) AS DOUBLE) / "
+            "CAST(SUM(rev) AS DOUBLE) AS mkt_share "
+            "FROM j GROUP BY o_year"
         ),
         # corpus-duplicated 8-gram coverage per source: exact string
         # semantics; integer counts + ONE final double division

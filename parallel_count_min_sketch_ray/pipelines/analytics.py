@@ -3968,3 +3968,194 @@ def top_supplier_revenue(sf_dir: str, q_start: str = "1996-01-01"):
         .sort_values("s_suppkey", kind="stable")
         .reset_index(drop=True)
     )
+
+
+def market_share(
+    sf_dir: str,
+    target_nation: str = "NATION_20",
+    region: str = "EUROPE",
+    part_type: str = "ECONOMY",
+    o_lo: str = "1995-01-01",
+    o_hi: str = "1997-01-01",
+):
+    """TPC-H Q8 shape: one nation's share of a region's market for a
+    product type, per order year — the share-of-group conditional
+    aggregate over the full snowflake (both nation roles resolved:
+    supplier nation drives the numerator, customer nation→region
+    scopes the market).
+
+    Plan: three broadcast maps (type-filtered partkeys; all suppliers
+    as sorted suppkey + is-target bit — the ``brand_nation_revenue``
+    dimension budget; region customers via an ``isin``-pushed read)
+    plus ONE orders scan emitting only the region's (orderkey, year)
+    pairs to the broadcast tier (Q7's budget note applies: above it,
+    the drop-in spelling is the repo's hash semi-join).  The lineitem
+    scan then collapses to TWO int64 partials per (batch, year) —
+    target revenue and total revenue — so the exchange is
+    O(blocks · years) and the share division happens once per year at
+    the end, bit-equal to the oracle's CASE-WHEN ratio.
+    """
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq_
+
+    lo, hi = pd.Timestamp(o_lo), pd.Timestamp(o_hi)
+    empty = pd.DataFrame(
+        {
+            "o_year": pd.Series([], dtype=np.int64),
+            "mkt_share": pd.Series([], dtype=np.float64),
+        }
+    )
+
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filters=[("p_type", "=", part_type)],
+    )
+    if part.num_rows == 0:
+        return empty
+    pk = np.sort(part["p_partkey"].to_numpy().astype(np.int64))
+
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region_t = pq_.read_table(
+        f"{sf_dir}/region.parquet",
+        columns=["r_regionkey"],
+        filters=[("r_name", "=", region)],
+    )
+    if region_t.num_rows == 0:
+        return empty
+    rk = set(region_t["r_regionkey"].to_pylist())
+    region_nations = [
+        int(k)
+        for k, g in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
+        )
+        if int(g) in rk
+    ]
+    target_keys = {
+        int(k)
+        for k, n in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()
+        )
+        if n == target_nation
+    }
+
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    s_target = np.isin(
+        supp["s_nationkey"].to_numpy(),
+        np.fromiter(target_keys, dtype=np.int64) if target_keys else np.array([], dtype=np.int64),
+    ).astype(np.int8)
+    order = np.argsort(sk, kind="stable")
+    sk, s_target = sk[order], s_target[order]
+
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filters=[("c_nationkey", "in", region_nations)],
+    )
+    if cust.num_rows == 0:
+        return empty
+    ck = np.sort(cust["c_custkey"].to_numpy().astype(np.int64))
+    ck_ref = ray.put(ck)
+
+    def region_orders(batch: pa.Table) -> pa.Table:
+        ckeys = ray.get(ck_ref)
+        okeys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ocust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ckeys, ocust)
+        pos[pos == len(ckeys)] = 0
+        hit = ckeys[pos] == ocust
+        year = pc.year(batch["o_orderdate"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okeys[hit].astype(np.int64), pa.int64()),
+                "o_year": pa.array(year[hit].astype(np.int16), pa.int16()),
+            }
+        )
+
+    matched = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+        )
+        .map_batches(region_orders, batch_format="pyarrow")
+        .take_all()
+    )
+    if not matched:
+        return empty
+    ok = np.array([r["o_orderkey"] for r in matched], dtype=np.int64)
+    oy = np.array([r["o_year"] for r in matched], dtype=np.int16)
+    order = np.argsort(ok, kind="stable")
+    ok, oy = ok[order], oy[order]
+    ok_ref, oy_ref = ray.put(ok), ray.put(oy)
+    pk_ref = ray.put(pk)
+    sk_ref, st_ref = ray.put(sk), ray.put(s_target)
+
+    def share_partial(batch: pa.Table) -> pa.Table:
+        pkeys = ray.get(pk_ref)
+        okeys, oyears = ray.get(ok_ref), ray.get(oy_ref)
+        skeys, stgt = ray.get(sk_ref), ray.get(st_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        lo_k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ls_k = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pp = np.searchsorted(pkeys, lp)
+        pp[pp == len(pkeys)] = 0
+        po = np.searchsorted(okeys, lo_k)
+        po[po == len(okeys)] = 0
+        ps = np.searchsorted(skeys, ls_k)
+        ps[ps == len(skeys)] = 0
+        sel = (pkeys[pp] == lp) & (okeys[po] == lo_k) & (skeys[ps] == ls_k)
+        sub_rev = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[sel]
+        ) * (
+            100
+            - _cents(batch["l_discount"].to_numpy(zero_copy_only=False)[sel])
+        )
+        years = oyears[po[sel]].astype(np.int64)
+        target = stgt[ps[sel]].astype(np.int64)
+        t = pa.table(
+            {
+                "o_year": pa.array(years, pa.int64()),
+                "rev_target_i": pa.array(sub_rev * target, pa.int64()),
+                "rev_total_i": pa.array(sub_rev, pa.int64()),
+            }
+        )
+        return _group_sum(t, ["o_year"])
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey",
+                "l_orderkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        )
+        .map_batches(share_partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("rev_target_i", alias_name="rev_target_i"),
+            Sum("rev_total_i", alias_name="rev_total_i"),
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        return empty
+    out["o_year"] = out["o_year"].astype(np.int64)
+    out["mkt_share"] = out["rev_target_i"].astype(np.float64) / out[
+        "rev_total_i"
+    ].astype(np.float64)
+    return (
+        out[["o_year", "mkt_share"]]
+        .sort_values("o_year", kind="stable")
+        .reset_index(drop=True)
+    )

@@ -139,6 +139,7 @@ def _to_pandas(res):
         "nation_trade_volume",
         "small_quantity_revenue",
         "top_supplier_revenue",
+        "market_share",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -1437,3 +1438,19 @@ def test_top_supplier_revenue_empty_quarter(ray_session):
     out = _to_pandas(top_supplier_revenue(SF_UNIT, q_start="1990-01-01"))
     assert len(out) == 0
     assert list(out.columns) == ["s_suppkey", "s_name", "total_revenue"]
+
+
+def test_market_share_guards(ray_session):
+    """Unknown region and unknown part type both exercise the
+    empty-broadcast early returns with a stable schema; a target
+    nation outside the data yields share 0.0 for every year (the
+    denominator — the region's whole market — is unchanged)."""
+    from parallel_count_min_sketch_ray.pipelines.analytics import market_share
+
+    for kw in ({"region": "NOWHERE"}, {"part_type": "NO-TYPE"}):
+        out = _to_pandas(market_share(SF_UNIT, **kw))
+        assert len(out) == 0
+        assert list(out.columns) == ["o_year", "mkt_share"]
+    zero = _to_pandas(market_share(SF_UNIT, target_nation="NATION_NONE"))
+    assert len(zero) > 0
+    assert (zero["mkt_share"] == 0.0).all()

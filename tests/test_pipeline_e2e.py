@@ -224,3 +224,51 @@ def test_driver_contract_from_foreign_cwd(tmp_path):
              if k not in ("PYTHONPATH", "RAY_ADDRESS")},
     )
     assert "FOREIGN-CWD-OK" in proc.stdout, proc.stderr[-2000:]
+
+
+def test_job_cli_entrypoint(tmp_path):
+    """The ``ray job submit`` surface: ``python -m
+    parallel_count_min_sketch_ray <query>`` owns its OWN Ray session in
+    a subprocess, writes parquet, and prints one machine-parseable JSON
+    line — both for a small pandas result and for a Dataset result
+    (streamed via write_parquet)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import SF_UNIT
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # standalone: the CLI starts local Ray
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
+
+    out_small = str(tmp_path / "tt")
+    r = subprocess.run(
+        [sys.executable, "-m", "parallel_count_min_sketch_ray",
+         "token_totals", "--sf-dir", SF_UNIT, "--output", out_small],
+        env=env, capture_output=True, text=True, check=True, cwd=repo,
+    )
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["rows"] == 1
+    got = pd.read_parquet(rec["output"])
+    want = duckdb.sql(
+        "SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM "
+        f"read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchone()[0]
+    assert int(got["total_tokens"].iloc[0]) == int(want)
+
+    out_ds = str(tmp_path / "cc")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "parallel_count_min_sketch_ray",
+         "clean_corpus", "--sf-dir", SF_UNIT, "--output", out_ds],
+        env=env, capture_output=True, text=True, check=True, cwd=repo,
+    )
+    rec2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    files = [f for f in os.listdir(out_ds) if f.endswith(".parquet")]
+    assert files, "Dataset result must stream to partitioned parquet"
+    assert len(pd.read_parquet(out_ds)) == rec2["rows"] > 0

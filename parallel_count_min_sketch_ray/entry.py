@@ -131,6 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": analytics.small_quantity_revenue,
         "top_supplier_revenue": analytics.top_supplier_revenue,
         "market_share": analytics.market_share,
+        # NEW in round-5 session 3: the substring-dedup REWRITE step
+        # (dup_ngram_coverage / doc_dup_stats measure; this removes)
+        "dedup_windows_rewrite": textpipe.dedup_windows_rewrite,
         # --- rows-only queries last driver-checked in r02 ---
         "cms_word_estimates": sketch_queries.cms_word_estimates,
         "hll_distinct_words": sketch_queries.hll_distinct_words,
@@ -156,10 +159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": analytics.lang_source_counts,
         "token_f2": analytics.token_f2,
         "top_terms_per_source": analytics.top_terms_per_source,
-        # ^ cap boundary (~53 entries above — the session-3
-        # Q13/Q7/Q17/Q15/Q8 additions push the tail slightly past ~50;
-        # everything at or below this line had a green driver row from
-        # r04 code, so nothing unverified can fall outside the window)
+        # ^ cap boundary (~54 entries above — the session-3
+        # Q13/Q7/Q17/Q15/Q8 + dedup_windows_rewrite additions push the
+        # tail slightly past ~50; everything at or below this line had
+        # a green driver row from r04 code, so nothing unverified can
+        # fall outside the window)
         "bigram_counts": analytics.bigram_counts,
         "doc_top_tfidf": analytics.doc_top_tfidf,
         "doc_split_stats": analytics.doc_split_stats,
@@ -666,6 +670,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN is_target THEN rev ELSE 0 END) AS DOUBLE) / "
             "CAST(SUM(rev) AS DOUBLE) AS mkt_share "
             "FROM j GROUP BY o_year"
+        ),
+        # exact duplicated-window removal (Lee et al. substring-dedup
+        # rewrite): every 8-token window keeps its corpus-first
+        # occurrence (min (doc_id, pos), intra-doc repeats included);
+        # other occurrences' tokens drop; survivors re-join with ' '
+        "dedup_windows_rewrite": (
+            "WITH w AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS words "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, t.i AS tokpos, words[t.i] AS tok "
+            "FROM w, unnest(range(1, len(words) + 1)) AS t(i)), "
+            "s AS (SELECT doc_id, t.i AS pos, "
+            "array_to_string(words[t.i:t.i+7], ' ') AS sh "
+            "FROM w, unnest(range(1, len(words) - 6)) AS t(i) "
+            "WHERE len(words) >= 8), "
+            "r AS (SELECT doc_id, pos, ROW_NUMBER() OVER "
+            "(PARTITION BY sh ORDER BY doc_id, pos) AS rn FROM s), "
+            "cov AS (SELECT DISTINCT r.doc_id, u.p AS tokpos "
+            "FROM r, unnest(range(r.pos, r.pos + 8)) AS u(p) WHERE r.rn > 1), "
+            "keep AS (SELECT tok.doc_id, tok.tokpos, tok.tok FROM tok "
+            "LEFT JOIN cov ON cov.doc_id = tok.doc_id "
+            "AND cov.tokpos = tok.tokpos WHERE cov.tokpos IS NULL), "
+            "k AS (SELECT doc_id, "
+            "string_agg(tok, ' ' ORDER BY tokpos) AS text_clean, "
+            "CAST(COUNT(*) AS BIGINT) AS n_tok_clean FROM keep GROUP BY doc_id) "
+            "SELECT w.doc_id, COALESCE(k.text_clean, '') AS text_clean, "
+            "CAST(len(w.words) AS BIGINT) AS n_tok, "
+            "COALESCE(k.n_tok_clean, 0) AS n_tok_clean "
+            "FROM w LEFT JOIN k USING (doc_id)"
         ),
         # corpus-duplicated 8-gram coverage per source: exact string
         # semantics; integer counts + ONE final double division

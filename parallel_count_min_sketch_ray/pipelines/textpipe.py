@@ -1682,3 +1682,149 @@ def source_fertility(sf_dir: str, pattern: str = BPE_ISH_PATTERN):
     return agg[["source", "n_docs", "n_bpe", "n_words", "fertility"]].sort_values(
         "source"
     ).reset_index(drop=True)
+
+
+def dedup_windows_rewrite(sf_dir: str, w: int = 8, n_buckets: int = 64,
+                          num_partitions: int | None = None):
+    """Exact duplicated-window REMOVAL (the Lee et al. 2022 substring-
+    dedup rewrite step — the transform :func:`dup_ngram_coverage` and
+    :func:`doc_dup_stats` only measure): every w-token window keeps its
+    corpus-FIRST occurrence (min (doc_id, pos), intra-doc repeats
+    included) and every other occurrence's w tokens are dropped;
+    overlapping dropped windows merge; each doc's surviving tokens are
+    re-joined in order.  Returns one row per document:
+    (doc_id, text_clean, n_tok, n_tok_clean).
+
+    Scale shape: pass 1 ships EVERY window occurrence once, routed on
+    ``hash64(sh) % n_buckets`` — exchange ∝ corpus windows, which IS
+    the cost of exact substring dedup (a suffix array carries
+    comparable volume); exact strings decide ownership in-bucket
+    (hashes route only, the repo-wide rule).  Only NON-owner
+    occurrences leave pass 1 (∝ true duplication); they collapse to
+    one CSV positions row per affected doc in coarse doc buckets, and
+    the rebuild is a hash-partitioned ``left_outer`` join back to the
+    documents table — unaffected docs pass through with a NULL mask,
+    nothing materializes on the driver.
+    """
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        _join_partitions,
+    )
+
+    if num_partitions is None:
+        num_partitions = _join_partitions(sf_dir, ["documents"])
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sh: list[str] = []
+        did: list[int] = []
+        pos: list[int] = []
+        for i, t in enumerate(texts):
+            ws = t.split()
+            if len(ws) < w:
+                continue
+            wins = textops.word_windows(ws, w)
+            sh.extend(wins)
+            did.extend([int(docs[i])] * len(wins))
+            pos.extend(range(len(wins)))
+        if not sh:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        keys = hash64_strings(sh)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (keys % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "sh": pa.array(sh, pa.string()),
+                "doc_id": pa.array(np.array(did, dtype=np.int64)),
+                "pos": pa.array(np.array(pos, dtype=np.int64)),
+            }
+        )
+
+    def non_owners(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        did = g["doc_id"].to_numpy(dtype=np.int64)
+        pos = g["pos"].to_numpy(dtype=np.int64)
+        order = np.lexsort((pos, did, sh))
+        sh_s = sh[order]
+        first = np.r_[True, sh_s[1:] != sh_s[:-1]]  # segment owner rows
+        dup_idx = order[~first]
+        return pd.DataFrame(
+            {
+                "doc_id": did[dup_idx],
+                "pos": pos[dup_idx],
+                "doc_bucket": did[dup_idx] % np.int64(n_buckets),
+            }
+        )
+
+    def per_doc_mask(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy(dtype=np.int64)
+        pos = g["pos"].to_numpy(dtype=np.int64)
+        order = np.lexsort((pos, did))
+        did, pos = did[order], pos[order]
+        starts = np.r_[0, np.flatnonzero(did[1:] != did[:-1]) + 1]
+        ends = np.r_[starts[1:], len(did)]
+        return pd.DataFrame(
+            {
+                "doc_id": did[starts],
+                "dup_pos": [
+                    ",".join(map(str, pos[s:e]))
+                    for s, e in zip(starts, ends)
+                ],
+            }
+        )
+
+    masks = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(occurrences, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(non_owners, batch_format="pandas")
+        .groupby("doc_bucket")
+        .map_groups(per_doc_mask, batch_format="pandas")
+    )
+    joined = read(sf_dir, "documents", ["doc_id", "text"]).join(
+        masks,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+        right_on=("doc_id",),
+        right_suffix="_m",
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dup = batch["dup_pos"].to_pylist()
+        clean: list[str] = []
+        n_tok = np.zeros(len(texts), dtype=np.int64)
+        n_clean = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = t.split()
+            n_tok[i] = len(ws)
+            if not dup[i]:
+                clean.append(" ".join(ws))
+                n_clean[i] = len(ws)
+                continue
+            drop = np.zeros(len(ws), dtype=bool)
+            for p in dup[i].split(","):
+                s = int(p)
+                drop[s : s + w] = True
+            kept = [x for x, d in zip(ws, drop) if not d]
+            clean.append(" ".join(kept))
+            n_clean[i] = len(kept)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_clean": pa.array(clean, pa.string()),
+                "n_tok": pa.array(n_tok),
+                "n_tok_clean": pa.array(n_clean),
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")

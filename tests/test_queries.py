@@ -140,6 +140,7 @@ def _to_pandas(res):
         "small_quantity_revenue",
         "top_supplier_revenue",
         "market_share",
+        "dedup_windows_rewrite",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -1454,3 +1455,49 @@ def test_market_share_guards(ray_session):
     zero = _to_pandas(market_share(SF_UNIT, target_nation="NATION_NONE"))
     assert len(zero) > 0
     assert (zero["mkt_share"] == 0.0).all()
+
+
+def test_dedup_windows_rewrite_planted(ray_session, tmp_path):
+    """Exact substring-dedup rewrite semantics on a planted corpus:
+    corpus-first occurrence survives, later cross-doc AND intra-doc
+    occurrences drop their 8 tokens, overlapping drops merge, short
+    docs pass through — asserted explicitly AND against the DuckDB
+    oracle on the same fixture."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from parallel_count_min_sketch_ray import entry as em
+    from parallel_count_min_sketch_ray.pipelines.textpipe import (
+        dedup_windows_rewrite,
+    )
+
+    X = "x1 x2 x3 x4 x5 x6 x7 x8"
+    docs = [
+        (0, "p1 p2 " + X),       # owner of X (first occurrence corpus-wide)
+        (1, X + " q1 q2"),       # cross-doc dup: loses X's 8 tokens
+        (2, "short doc here"),   # < 8 words: untouched
+        (3, X + " " + X),        # both occurrences are dups: empties out
+    ]
+    d = tmp_path / "documents.parquet"
+    pq2.write_table(
+        pa2.table(
+            {
+                "doc_id": pa2.array([r[0] for r in docs], pa2.int64()),
+                "text": pa2.array([r[1] for r in docs], pa2.string()),
+            }
+        ),
+        str(d),
+    )
+    res = _to_pandas(dedup_windows_rewrite(str(tmp_path))).set_index("doc_id")
+    assert res.loc[0, "text_clean"] == "p1 p2 " + X
+    assert res.loc[1, "text_clean"] == "q1 q2"
+    assert res.loc[2, "text_clean"] == "short doc here"
+    assert res.loc[3, "text_clean"] == ""
+    assert int(res.loc[3, "n_tok"]) == 16 and int(res.loc[3, "n_tok_clean"]) == 0
+
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}')")
+    ora = _canon(c.sql(em.oracle_sql()["dedup_windows_rewrite"]).df())
+    pd.testing.assert_frame_equal(
+        _canon(res.reset_index()), ora, check_dtype=True
+    )

@@ -76,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     if args.query == "entry":
+        # the flagship runs on its fixed driver-contract corpus — report
+        # THAT path, not a --sf-dir the pipeline did not read
+        args.sf_dir = "/root/testdata/sf0.001"
         result = em.entry()
     else:
         qs = em.queries()
@@ -92,11 +95,13 @@ def main(argv: list[str] | None = None) -> int:
     out_path = args.output
     if isinstance(result, ray.data.Dataset):
         if out_path:
-            # streams block-by-block: big results never hit the driver
+            # materialize once so the write and the count share ONE
+            # execution (a lazy Dataset would re-run the whole plan for
+            # the second consumption); blocks stay in the object store,
+            # never on the driver
+            result = result.materialize()
             result.write_parquet(out_path)
-            n_rows = result.count()
-        else:
-            n_rows = result.count()
+        n_rows = result.count()
     else:
         if isinstance(result, pa.Table):
             result = result.to_pandas()

@@ -1667,6 +1667,20 @@ def _sorted_lookup(table: pa.Table, key_col: str, val_col) -> tuple[np.ndarray, 
     return np.ascontiguousarray(keys[order].astype(np.int64)), vals
 
 
+def _probe_sorted(keys: np.ndarray, queries: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Membership probe against a SORTED broadcast key array: returns
+    (hit mask, clamped positions).  ``pos`` is only meaningful where
+    ``hit`` — the end-of-array clamp maps misses to slot 0, so a bare
+    ``vals[pos]`` without the mask silently reads the first key's value
+    (the subtle bug this helper exists to contain in ONE place; the
+    idiom previously appeared hand-rolled at every broadcast-lookup
+    site)."""
+    pos = np.searchsorted(keys, queries)
+    pos[pos == len(keys)] = 0
+    hit = keys[pos] == queries if len(keys) else np.zeros(len(queries), dtype=bool)
+    return hit, pos
+
+
 def brand_nation_revenue(sf_dir: str):
     """Star-schema rollup over the two remaining dimension tables:
     lineitem ⋈ part (brand) ⋈ supplier ⋈ nation (supplier nation) →
@@ -3345,9 +3359,7 @@ def promo_revenue(sf_dir: str, month: str = "1996-04"):
         ext_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
         disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
         rev = ext_c * (100 - disc_c)
-        pos = np.searchsorted(keys, lp)
-        pos[pos == len(keys)] = 0
-        hit = keys[pos] == lp
+        hit, pos = _probe_sorted(keys, lp)
         if not hit.all():
             # inner-join semantics: lines whose part is missing drop out
             rev, pos = rev[hit], pos[hit]
@@ -3434,9 +3446,8 @@ def order_priority_check(
         dates = ray.get(od_ref)
         lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
         ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, lk)
-        pos[pos == len(keys)] = 0
-        late = (keys[pos] == lk) & (ship > dates[pos] + late_us)
+        hit, pos = _probe_sorted(keys, lk)
+        late = hit & (ship > dates[pos] + late_us)
         uniq = np.unique(lk[late])
         return pa.table(
             {
@@ -3518,9 +3529,7 @@ def discounted_revenue(sf_dir: str):
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
         sel = np.zeros(len(lp), dtype=bool)
         if len(keys):
-            pos = np.searchsorted(keys, lp)
-            pos[pos == len(keys)] = 0
-            hit = keys[pos] == lp
+            hit, pos = _probe_sorted(keys, lp)
             m = np.where(hit, bits[pos], 0).astype(np.uint8)
             for i, (_, _, qlo, qhi) in enumerate(clauses):
                 sel |= ((m >> i) & 1).astype(bool) & (qty >= qlo) & (qty <= qhi)
@@ -3591,7 +3600,16 @@ def customer_order_distribution(
         orders.map_batches(per_cust_partial, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Sum("c_count", alias_name="c_count"))
-    )
+    ).materialize()  # one execution feeds the emptiness probe AND the join
+    if counts.count() == 0:
+        # every order excluded: the join kernel rejects a schema-less
+        # right side (the returned_item_revenue empty-quarter class) —
+        # the Q13 answer is one all-zero bucket
+        n_cust = read(sf_dir, "customer", ["c_custkey"]).count()
+        return pd.DataFrame(
+            {"c_count": np.array([0], dtype=np.int64),
+             "custdist": np.array([n_cust], dtype=np.int64)}
+        )
     joined = read(sf_dir, "customer", ["c_custkey"]).join(
         counts,
         join_type="left_outer",
@@ -3663,7 +3681,6 @@ def nation_trade_volume(
     name2key = dict(
         zip(nation["n_name"].to_pylist(), nation["n_nationkey"].to_pylist())
     )
-    keys2 = {int(name2key[nation_a]): 0, int(name2key[nation_b]): 1}
     names2 = np.array([nation_a, nation_b], dtype=object)
     lo = pd.Timestamp(ship_lo)
     hi = pd.Timestamp(ship_hi)
@@ -3677,6 +3694,9 @@ def nation_trade_volume(
             "revenue": pd.Series([], dtype=np.float64),
         }
     )
+    if nation_a not in name2key or nation_b not in name2key:
+        return empty  # unknown nation: the oracle's join yields no rows
+    keys2 = {int(name2key[nation_a]): 0, int(name2key[nation_b]): 1}
 
     def _two_nation_lookup(table: str, key_col: str, nk_col: str):
         t = pq_.read_table(f"{sf_dir}/{table}.parquet", columns=[key_col, nk_col])
@@ -3699,9 +3719,7 @@ def nation_trade_volume(
         ccodes = ray.get(cc_ref)
         okeys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
         ocust = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ckeys, ocust)
-        pos[pos == len(ckeys)] = 0
-        hit = ckeys[pos] == ocust
+        hit, pos = _probe_sorted(ckeys, ocust)
         return pa.table(
             {
                 "o_orderkey": pa.array(okeys[hit].astype(np.int64), pa.int64()),
@@ -3734,13 +3752,10 @@ def nation_trade_volume(
         scodes = ray.get(sc_ref)
         lo_k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
         ls_k = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        po = np.searchsorted(okeys, lo_k)
-        po[po == len(okeys)] = 0
-        ps = np.searchsorted(skeys, ls_k)
-        ps[ps == len(skeys)] = 0
+        hit_o, po = _probe_sorted(okeys, lo_k)
+        hit_s, ps = _probe_sorted(skeys, ls_k)
         # both endpoints must resolve AND the trade must cross nations
-        sel = (okeys[po] == lo_k) & (skeys[ps] == ls_k)
-        sel &= ocodes[po] != scodes[ps]
+        sel = hit_o & hit_s & (ocodes[po] != scodes[ps])
         # 0-row batches flow through the same _group_sum so every
         # block carries the identical (aggregated-cols, keys) schema
         sub = batch.filter(pa.array(sel))
@@ -3832,9 +3847,7 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#19"):
     def qty_partial(batch: pa.Table) -> pa.Table:
         keys = ray.get(bk_ref)
         lk = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, lk)
-        pos[pos == len(keys)] = 0
-        sel = keys[pos] == lk
+        sel, _ = _probe_sorted(keys, lk)
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[sel]
         t = pa.table(
             {
@@ -3873,10 +3886,9 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#19"):
         keys = ray.get(tk_ref)
         cuts = ray.get(thr_ref)
         lk = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, lk)
-        pos[pos == len(keys)] = 0
+        hit, pos = _probe_sorted(keys, lk)
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        sel = (keys[pos] == lk) & (qty < cuts[pos])
+        sel = hit & (qty < cuts[pos])
         ext_c = _cents(
             batch["l_extendedprice"].to_numpy(zero_copy_only=False)[sel]
         )
@@ -3946,7 +3958,7 @@ def top_supplier_revenue(sf_dir: str, q_start: str = "1996-01-01"):
         .map_batches(partial, batch_format="pyarrow")
         .groupby("l_suppkey")
         .aggregate(Sum("rev_i", alias_name="rev_i"))
-    )
+    ).materialize()  # one execution feeds max() AND the winner filter
     best = per_supp.max("rev_i")
     if best is None:
         return empty
@@ -4068,9 +4080,7 @@ def market_share(
         ckeys = ray.get(ck_ref)
         okeys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
         ocust = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ckeys, ocust)
-        pos[pos == len(ckeys)] = 0
-        hit = ckeys[pos] == ocust
+        hit, pos = _probe_sorted(ckeys, ocust)
         year = pc.year(batch["o_orderdate"]).to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -4105,13 +4115,10 @@ def market_share(
         lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
         lo_k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
         ls_k = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        pp = np.searchsorted(pkeys, lp)
-        pp[pp == len(pkeys)] = 0
-        po = np.searchsorted(okeys, lo_k)
-        po[po == len(okeys)] = 0
-        ps = np.searchsorted(skeys, ls_k)
-        ps[ps == len(skeys)] = 0
-        sel = (pkeys[pp] == lp) & (okeys[po] == lo_k) & (skeys[ps] == ls_k)
+        hit_p, _ = _probe_sorted(pkeys, lp)
+        hit_o, po = _probe_sorted(okeys, lo_k)
+        hit_s, ps = _probe_sorted(skeys, ls_k)
+        sel = hit_p & hit_o & hit_s
         sub_rev = _cents(
             batch["l_extendedprice"].to_numpy(zero_copy_only=False)[sel]
         ) * (

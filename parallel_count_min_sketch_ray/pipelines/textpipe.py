@@ -1749,6 +1749,12 @@ def dedup_windows_rewrite(sf_dir: str, w: int = 8, n_buckets: int = 64,
         )
 
     def non_owners(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:  # Ray may hand map_groups an empty group
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "pos": pd.Series([], dtype=np.int64),
+                 "doc_bucket": pd.Series([], dtype=np.int64)}
+            )
         sh = g["sh"].to_numpy()
         did = g["doc_id"].to_numpy(dtype=np.int64)
         pos = g["pos"].to_numpy(dtype=np.int64)
@@ -1765,6 +1771,11 @@ def dedup_windows_rewrite(sf_dir: str, w: int = 8, n_buckets: int = 64,
         )
 
     def per_doc_mask(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "dup_pos": pd.Series([], dtype=object)}
+            )
         did = g["doc_id"].to_numpy(dtype=np.int64)
         pos = g["pos"].to_numpy(dtype=np.int64)
         order = np.lexsort((pos, did))
@@ -1788,19 +1799,29 @@ def dedup_windows_rewrite(sf_dir: str, w: int = 8, n_buckets: int = 64,
         .map_groups(non_owners, batch_format="pandas")
         .groupby("doc_bucket")
         .map_groups(per_doc_mask, batch_format="pandas")
-    )
-    joined = read(sf_dir, "documents", ["doc_id", "text"]).join(
-        masks,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("doc_id",),
-        right_on=("doc_id",),
-        right_suffix="_m",
-    )
+    ).materialize()  # ∝ affected docs; one execution feeds probe + join
+    if masks.count() == 0:
+        # fully-unique corpus (the COMMON clean case): the join kernel
+        # rejects a schema-less right side — every doc passes through
+        # with a null mask, so rebuild directly from the documents scan
+        joined = read(sf_dir, "documents", ["doc_id", "text"])
+    else:
+        joined = read(sf_dir, "documents", ["doc_id", "text"]).join(
+            masks,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("doc_id",),
+            right_on=("doc_id",),
+            right_suffix="_m",
+        )
 
     def rebuild(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        dup = batch["dup_pos"].to_pylist()
+        dup = (
+            batch["dup_pos"].to_pylist()
+            if "dup_pos" in batch.column_names
+            else [None] * len(texts)  # no-duplication fast path: no join ran
+        )
         clean: list[str] = []
         n_tok = np.zeros(len(texts), dtype=np.int64)
         n_clean = np.zeros(len(texts), dtype=np.int64)

@@ -1385,6 +1385,10 @@ def test_nation_trade_volume_empty_window(ray_session):
         nation_trade_volume(SF_UNIT, ship_lo="1990-01-01", ship_hi="1990-02-01")
     )
     assert len(out) == 0
+    # unknown nation name: empty frame (the oracle's join yields no
+    # rows), never a KeyError before the guard
+    unk = _to_pandas(nation_trade_volume(SF_UNIT, nation_a="NATION_99"))
+    assert len(unk) == 0
     assert list(out.columns) == [
         "supp_nation", "cust_nation", "l_year", "n_items", "revenue",
     ]
@@ -1501,3 +1505,67 @@ def test_dedup_windows_rewrite_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         _canon(res.reset_index()), ora, check_dtype=True
     )
+
+
+def test_dedup_windows_rewrite_clean_corpus(ray_session, tmp_path):
+    """The COMMON clean-corpus cases must pass through, not crash: a
+    fully-unique corpus (no duplicated window anywhere) and an
+    all-short-docs corpus both produce an empty mask side, which the
+    join kernel would reject schema-less."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from parallel_count_min_sketch_ray.pipelines.textpipe import (
+        dedup_windows_rewrite,
+    )
+
+    uniq = [
+        (0, " ".join(f"u{i}" for i in range(12))),
+        (1, " ".join(f"v{i}" for i in range(12))),
+        (2, "too short"),
+    ]
+    d = tmp_path / "documents.parquet"
+    pq2.write_table(
+        pa2.table(
+            {
+                "doc_id": pa2.array([r[0] for r in uniq], pa2.int64()),
+                "text": pa2.array([r[1] for r in uniq], pa2.string()),
+            }
+        ),
+        str(d),
+    )
+    res = _to_pandas(dedup_windows_rewrite(str(tmp_path))).set_index("doc_id")
+    assert len(res) == 3
+    for i, t in uniq:
+        assert res.loc[i, "text_clean"] == t
+        assert int(res.loc[i, "n_tok"]) == int(res.loc[i, "n_tok_clean"])
+
+
+def test_customer_order_distribution_all_excluded(ray_session, tmp_path):
+    """Excluding EVERY order (all rows carry the excluded priority)
+    empties the join's right side; the answer is the single all-zero
+    bucket, not an ArrowInvalid from a schema-less join input."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from parallel_count_min_sketch_ray.pipelines.analytics import (
+        customer_order_distribution,
+    )
+
+    pq2.write_table(
+        pa2.table({"c_custkey": pa2.array([1, 2, 3], pa2.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq2.write_table(
+        pa2.table(
+            {
+                "o_custkey": pa2.array([1, 1, 2], pa2.int64()),
+                "o_orderpriority": pa2.array(["1-URGENT"] * 3, pa2.string()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = _to_pandas(customer_order_distribution(str(tmp_path)))
+    assert len(out) == 1
+    assert int(out["c_count"].iloc[0]) == 0
+    assert int(out["custdist"].iloc[0]) == 3
